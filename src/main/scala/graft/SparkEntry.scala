@@ -1,13 +1,170 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each paired with a DuckDB oracle over the same parquet tables where the
+  * semantics are SQL-expressible. Non-SQL-expressible operators (MinHash,
+  * SimHash, LSH, CRF training, language-ID) are covered by ScalaTest
+  * goldens instead and get rows-only driver checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  import GazetteerTagger.{OpClass, ObjClass}
+  private val Rel = "r_op_obj"
+
+  /** Flagship: full KG slice (transcripts → segment → tag → edges →
+    * triples) on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kgTriples(spark, "/root/testdata/sf0.001")
+
+  // ---- shared pipeline pieces -----------------------------------------
+
+  private def turnsOf(spark: SparkSession, dir: String) =
+    Segmentation.turns(Transcripts.fromDocuments(spark, dir))
+
+  private def tokenizedOf(spark: SparkSession, dir: String) =
+    Segmentation.tokenized(turnsOf(spark, dir))
+
+  private def mentionsOf(spark: SparkSession, dir: String) =
+    GazetteerTagger.tag(tokenizedOf(spark, dir))
+
+  private def kgEdges(spark: SparkSession, dir: String): DataFrame =
+    EdgeGen.turnWindow(
+      GazetteerTagger.grouped(mentionsOf(spark, dir)),
+      OpClass, ObjClass, Rel, window = 1)
+
+  private def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    Triples.fromTurnEdges(kgEdges(spark, dir), Rel, OpClass, ObjClass)
+
+  // ---- queries ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_transcripts" -> ((s, dir) => Transcripts.fromDocuments(s, dir)),
+    "kg_sentences" -> ((s, dir) => {
+      import s.implicits._
+      Segmentation.sentences(turnsOf(s, dir)).toDF()
+    }),
+    "kg_tokens" -> ((s, dir) => Segmentation.tokens(tokenizedOf(s, dir))),
+    "kg_mentions" -> ((s, dir) => mentionsOf(s, dir).toDF()),
+    "kg_edges" -> ((s, dir) => kgEdges(s, dir)),
+    "kg_triples" -> ((s, dir) => kgTriples(s, dir)),
+    "kg_nodes" -> ((s, dir) => {
+      Linking.nodeStatsExact(mentionsOf(s, dir))
+        .select(col("class_id"), col("norm").as("canonical"),
+          col("n_mentions"), col("n_convs"))
+    })
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val T = Transcripts.duckdbCte
+
+  /** words CTE: tokenization of the documents-derived transcripts in pure
+    * SQL. Valid because the corpus is single-space-separated lowercase
+    * words (verified; the Scala tokenizer's regex cascade is the general
+    * path, golden-tested in ScalaTest).
+    */
+  private val W =
+    s"""transcripts AS ($T),
+       |words AS (
+       |  SELECT conv_id, turn_idx,
+       |         unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM transcripts
+       |)""".stripMargin
+
+  private val gazCase =
+    s"""CASE WHEN word IN ('merge','filter','scan','sort') THEN '$OpClass'
+       |     WHEN word IN ('table','vector','stream','batch') THEN '$ObjClass'
+       |END""".stripMargin
+
+  private val M =
+    s"""$W,
+       |toks AS (
+       |  SELECT conv_id, turn_idx, word, pos,
+       |    CAST(coalesce(sum(length(word)+1) OVER (
+       |      PARTITION BY conv_id, turn_idx ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
+       |  FROM words
+       |),
+       |mentions AS (
+       |  SELECT conv_id, turn_idx, CAST(0 AS INT) AS sent_idx,
+       |         $gazCase AS class_id,
+       |         b AS "begin", CAST(b + length(word) AS INT) AS "end",
+       |         word AS text, CAST(1.0 AS DOUBLE) AS confidence, word AS norm
+       |  FROM toks
+       |  WHERE word IN ('merge','filter','scan','sort','table','vector','stream','batch')
+       |),
+       |grouped AS (
+       |  SELECT conv_id, turn_idx, class_id, text AS word,
+       |         min("begin") AS "begin", count(*) AS n_occ
+       |  FROM mentions GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_transcripts" -> T,
+
+    "kg_sentences" ->
+      s"""WITH transcripts AS ($T)
+         |SELECT conv_id, turn_idx, CAST(0 AS INT) AS sent_idx,
+         |       text AS sent_text, CAST(0 AS INT) AS sent_start
+         |FROM transcripts""".stripMargin,
+
+    "kg_tokens" ->
+      s"""WITH $W
+         |SELECT conv_id, turn_idx, CAST(0 AS INT) AS sent_idx,
+         |  CAST(pos - 1 AS INT) AS tid, word,
+         |  CAST(coalesce(sum(length(word)+1) OVER (
+         |    PARTITION BY conv_id, turn_idx ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "begin",
+         |  CAST(coalesce(sum(length(word)+1) OVER (
+         |    PARTITION BY conv_id, turn_idx ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(word) AS INT) AS "end"
+         |FROM words""".stripMargin,
+
+    "kg_mentions" ->
+      s"""WITH $M
+         |SELECT conv_id, turn_idx, sent_idx, class_id, "begin", "end",
+         |       text, confidence, norm
+         |FROM mentions""".stripMargin,
+
+    "kg_edges" ->
+      s"""WITH $M
+         |SELECT m1.conv_id, '$Rel' AS rel_type,
+         |       m1.turn_idx AS turn1, m2.turn_idx AS turn2,
+         |       m1.word AS word1, m2.word AS word2,
+         |       m1."begin" AS begin1, m2."begin" AS begin2,
+         |       CAST(m2.turn_idx - m1.turn_idx AS INT) AS turn_dist,
+         |       CAST(m1.n_occ * m2.n_occ AS BIGINT) AS n_pairs
+         |FROM grouped m1 JOIN grouped m2
+         |  ON m1.conv_id = m2.conv_id
+         | AND m2.turn_idx BETWEEN m1.turn_idx AND m1.turn_idx + 1
+         | AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'""".stripMargin,
+
+    "kg_triples" ->
+      s"""WITH $M,
+         |pairs AS (
+         |  SELECT m1.conv_id, m1.word AS w1, m2.word AS w2,
+         |         min(m1.turn_idx) AS turn_idx
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT conv_id, turn_idx, '$Rel' AS pred,
+         |       '$OpClass|' || w1 AS subj, '$ObjClass|' || w2 AS obj,
+         |       '$Rel|$ObjClass|' || w2 || '|$OpClass|' || w1 AS key
+         |FROM pairs""".stripMargin,
+
+    "kg_nodes" ->
+      s"""WITH $M
+         |SELECT class_id, norm AS canonical,
+         |       CAST(count(*) AS BIGINT) AS n_mentions,
+         |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+         |FROM mentions GROUP BY 1, 2""".stripMargin
+  )
 }
