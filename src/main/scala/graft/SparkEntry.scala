@@ -56,8 +56,68 @@ object SparkEntry {
       Linking.nodeStatsExact(mentionsOf(s, dir))
         .select(col("class_id"), col("norm").as("canonical"),
           col("n_mentions"), col("n_convs"))
-    })
+    }),
+    "kg_eval" -> ((s, dir) => kgEval(s, dir)),
+    "kg_cc" -> ((s, dir) => kgCc(s, dir))
   )
+
+  /** Deterministic "gold" rule for the evaluation query: these op→obj
+    * pairs are true relations when they co-occur within a 2-turn window.
+    */
+  private val GoldPairs = Seq(
+    ("merge", "table"), ("filter", "stream"), ("scan", "batch"),
+    ("sort", "vector"))
+
+  /** DocumentLevelRelationEvaluator semantics (`evaluators.py:732-787`)
+    * over stub-extracted triples vs the deterministic gold rule: per-conv
+    * canonical-key sets full-outer joined, counts aggregated, P/R/F with
+    * safe division — one output row.
+    */
+  private def kgEval(s: SparkSession, dir: String): DataFrame = {
+    val grouped = GazetteerTagger.grouped(mentionsOf(s, dir))
+    val goldEdges = EdgeGen.turnWindow(grouped, OpClass, ObjClass, Rel, window = 2)
+      .filter(GoldPairs.map { case (a, b) =>
+        col("word1") === a && col("word2") === b
+      }.reduce(_ || _))
+    val gold = goldEdges.select(col("conv_id"),
+      concat(lit(s"$Rel|$ObjClass|"), col("word2"),
+        lit(s"|$OpClass|"), col("word1")).as("key"))
+    val pred = kgTriples(s, dir).select(col("conv_id"), col("key"))
+    Evaluation.relationCountsByDoc(gold, pred)
+      .agg(sum(col("tp")).cast("long").as("tp"),
+        sum(col("fp")).cast("long").as("fp"),
+        sum(col("fn")).cast("long").as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
+  /** Connected components over a deterministic events-derived graph:
+    * nodes = distinct user_ids, undirected edges (u, u-1) when u%10 != 0
+    * and u-1 exists — chains of consecutive ids, multi-hop merges.
+    * Output (node, comp = min reachable id), isolated nodes map to
+    * themselves.
+    */
+  private def kgCc(s: SparkSession, dir: String): DataFrame = {
+    val users = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("uid")).distinct()
+    val u2 = users.select(col("uid").as("uid2"))
+    val edges = users
+      .filter(pmod(col("uid"), lit(10)) =!= 0)
+      .join(u2, col("uid2") === col("uid") - 1, "left_semi")
+      .select(col("uid").as("src"), (col("uid") - 1).as("dst"))
+    val comp = Linking.connectedComponents(edges)
+    users.join(comp, users("uid") === comp("node"), "left")
+      .select(col("uid").as("node"),
+        coalesce(col("comp"), col("uid")).as("comp"))
+  }
 
   // ---- DuckDB oracles ---------------------------------------------------
 
@@ -165,6 +225,65 @@ object SparkEntry {
          |SELECT class_id, norm AS canonical,
          |       CAST(count(*) AS BIGINT) AS n_mentions,
          |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
-         |FROM mentions GROUP BY 1, 2""".stripMargin
+         |FROM mentions GROUP BY 1, 2""".stripMargin,
+
+    "kg_eval" -> {
+      val goldIn = GoldPairs.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+      s"""WITH $M,
+         |predk AS (
+         |  SELECT DISTINCT m1.conv_id,
+         |    '$Rel|$ObjClass|' || m2.word || '|$OpClass|' || m1.word AS key
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |),
+         |goldk AS (
+         |  SELECT DISTINCT m1.conv_id,
+         |    '$Rel|$ObjClass|' || m2.word || '|$OpClass|' || m1.word AS key
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id
+         |   AND m2.turn_idx BETWEEN m1.turn_idx AND m1.turn_idx + 2
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |   AND (m1.word, m2.word) IN ($goldIn)
+         |),
+         |c AS (
+         |  SELECT
+         |    CAST((SELECT count(*) FROM goldk g JOIN predk p
+         |          ON g.conv_id = p.conv_id AND g.key = p.key) AS BIGINT) AS tp,
+         |    CAST((SELECT count(*) FROM predk p WHERE NOT EXISTS (
+         |          SELECT 1 FROM goldk g WHERE g.conv_id = p.conv_id AND g.key = p.key)) AS BIGINT) AS fp,
+         |    CAST((SELECT count(*) FROM goldk g WHERE NOT EXISTS (
+         |          SELECT 1 FROM predk p WHERE g.conv_id = p.conv_id AND g.key = p.key)) AS BIGINT) AS fn
+         |)
+         |SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+         |          + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END) = 0.0
+         |       THEN 0.0
+         |       ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+         |                * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)
+         |            / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+         |             + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END))
+         |  END AS f1
+         |FROM c""".stripMargin
+    },
+
+    "kg_cc" ->
+      """WITH RECURSIVE users AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+        |),
+        |e AS (
+        |  SELECT u1.uid AS src, u1.uid - 1 AS dst
+        |  FROM users u1 JOIN users u2 ON u2.uid = u1.uid - 1
+        |  WHERE u1.uid % 10 <> 0
+        |),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(a, b) AS (
+        |  SELECT uid, uid FROM users
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        |)
+        |SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""".stripMargin
   )
 }
