@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Reports the driver-contract JSON line
+  * ({"metric","value","unit","queries","sf"}), extended with the
+  * BASELINE.json headline numbers: transcript turns processed and fused
+  * triple-emission throughput in turns/sec.
+  *
+  * Scaling-efficiency evidence (north_rule: N → 4N executors ≥ 0.8) is
+  * produced by running this main twice on the same input with
+  * SPARK_GRAFT_CPUS=8 and =32 (the sandbox proxy for cluster sizes) —
+  * see tools/bench_scaling.sh and BENCH.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warm the JVM + parquet footers once so per-query numbers measure
+    // the plan, not first-touch classloading
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    // headline: fused triple-emission pipeline, turns/sec
+    val nTurns = ops.Transcripts.fromDocuments(spark, sfDir).count()
+    val (nTriples, tPipe) = time(SparkEntry.kgPipelineFused(spark, sfDir).count())
+    val turnsPerSec = nTurns / tPipe
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, t) = time {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
+      name -> t
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"triples":$nTriples,"pipeline_sec":$tPipe,"turns_per_sec":$turnsPerSec}""")
     spark.stop()
   }
 }

@@ -58,8 +58,24 @@ object SparkEntry {
           col("n_mentions"), col("n_convs"))
     }),
     "kg_eval" -> ((s, dir) => kgEval(s, dir)),
-    "kg_cc" -> ((s, dir) => kgCc(s, dir))
+    "kg_cc" -> ((s, dir) => kgCc(s, dir)),
+    "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir))
   )
+
+  /** The fused one-shuffle extraction pipeline (KgPipeline.triples) run
+    * in stub mode over the documents-derived transcripts: provably
+    * equivalent to the declarative kg_triples route (tested), so it
+    * shares that oracle. This is the operator the BASELINE throughput
+    * metric (turns/sec) is measured on.
+    */
+  def kgPipelineFused(s: SparkSession, dir: String): DataFrame = {
+    val turns = Segmentation.turns(Transcripts.fromDocuments(s, dir))
+    KgPipeline.triples(turns,
+      KgPipeline.Config(Rel, OpClass, ObjClass, window = 0, tokenizer = "tmvar"),
+      crfModel = None, gaz = GazetteerTagger.gazetteer, scorer = None)
+      .select(col("conv_id"), col("turn_idx"), col("pred"), col("subj"),
+        col("obj"), col("key"))
+  }
 
   /** Deterministic "gold" rule for the evaluation query: these op→obj
     * pairs are true relations when they co-occur within a 2-turn window.
@@ -268,6 +284,21 @@ object SparkEntry {
          |  END AS f1
          |FROM c""".stripMargin
     },
+
+    "kg_pipeline" ->
+      s"""WITH $M,
+         |pairs AS (
+         |  SELECT m1.conv_id, m1.word AS w1, m2.word AS w2,
+         |         min(m1.turn_idx) AS turn_idx
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT conv_id, turn_idx, '$Rel' AS pred,
+         |       '$OpClass|' || w1 AS subj, '$ObjClass|' || w2 AS obj,
+         |       '$Rel|$ObjClass|' || w2 || '|$OpClass|' || w1 AS key
+         |FROM pairs""".stripMargin,
 
     "kg_cc" ->
       """WITH RECURSIVE users AS (

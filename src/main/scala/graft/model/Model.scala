@@ -53,6 +53,7 @@ final case class TokenizedSentence(
     turn_idx: Int,
     sent_idx: Int,
     sent_start: Int,
+    sent_text: String,
     tokens: Seq[Tok]
 )
 

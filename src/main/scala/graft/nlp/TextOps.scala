@@ -114,10 +114,11 @@ object TextOps {
     out.result()
   }
 
-  /** Tokenize a turn's text into sentences of offset-carrying tokens.
-    * tokenizer ∈ {"tmvar", "generic"}.
+  /** Tokenize a turn's text into sentences of offset-carrying tokens:
+    * (sent_idx, sent_start, sent_text, tokens). tokenizer ∈
+    * {"tmvar", "generic"}.
     */
-  def segment(text: String, tokenizer: String = "tmvar"): Vector[(Int, Int, Vector[Tok])] = {
+  def segment(text: String, tokenizer: String = "tmvar"): Vector[(Int, Int, String, Vector[Tok])] = {
     val tokFn: String => Vector[String] =
       if (tokenizer == "generic") genericTokenize else tmvarTokenize
     var soFar = 0
@@ -133,7 +134,7 @@ object TextOps {
           tid += 1
         }
       }
-      (idx, start, toks.result())
+      (idx, start, sent, toks.result())
     }
   }
 

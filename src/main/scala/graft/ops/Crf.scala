@@ -1,0 +1,306 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import graft.model._
+import graft.nlp.{Labeling, Porter, TextOps}
+
+/** Linear-chain CRF-style sequence tagging — nalaf's `PyCRFSuite`
+  * (`learning/crfsuite.py`) re-expressed Spark-first:
+  *
+  *  - per-token feature extraction mirrors the reference's default
+  *    pipeline (`structures/dataset_pipelines.py:26-32`): word identity,
+  *    Porter stem, BOS/EOS markers, non-ASCII flag, and stem window
+  *    features stem[-3..3] (`features/window.py` semantics — neighbor
+  *    copies within the sentence only);
+  *  - scoring is a batched `mapPartitions` Viterbi decoder with BROADCAST
+  *    model weights (north_rule verbatim) — per-token marginals come from
+  *    forward-backward on the same potentials, so decoded mentions carry
+  *    the reference's confidence = arithmetic mean of token marginals
+  *    (`data.py:236-273` + `utils/qmath.py:9-19`);
+  *  - training is driver-local averaged structured perceptron over a
+  *    collected (small/sampled) feature table — the reference trains
+  *    single-node too (CRFsuite in-process, `crfsuite.py:52-73`); at
+  *    100 TB you train on a sample and SCORE distributed, which is
+  *    exactly what this module does.
+  */
+object Crf {
+
+  /** Immutable model: label vocabulary, emission weights keyed by
+    * (feature string → per-label weight array), transition matrix
+    * [from][to], and start/stop scores.
+    */
+  final case class Model(
+      labels: Vector[String],
+      emissions: Map[String, Array[Double]],
+      transitions: Array[Array[Double]],
+      start: Array[Double],
+      stop: Array[Double]) {
+    def labelIndex: Map[String, Int] = labels.zipWithIndex.toMap
+  }
+
+  /** Per-token feature strings (the CRF's NAME[offset]=value convention,
+    * `features/window.py:4-60` + `FeatureDictionary` naming
+    * `data.py:1790-1814`).
+    */
+  def tokenFeatures(sent: IndexedSeq[Tok]): IndexedSeq[List[String]] = {
+    val n = sent.length
+    val stems = sent.map(t => Porter.stem(t.word))
+    val lowers = sent.map(_.word.toLowerCase)
+    (0 until n).map { i =>
+      val t = sent(i)
+      var fs: List[String] = Nil
+      fs ::= s"w[0]=${lowers(i)}"
+      fs ::= s"stem[0]=${stems(i)}"
+      if (i == 0) fs ::= "BOS"
+      if (i == n - 1) fs ::= "EOS"
+      if (t.word.exists(_ > 127)) fs ::= "nonascii"
+      if (t.word.forall(_.isDigit)) fs ::= "isnum"
+      if (t.word.headOption.exists(_.isUpper)) fs ::= "cap"
+      var k = -3
+      while (k <= 3) {
+        if (k != 0 && i + k >= 0 && i + k < n) fs ::= s"stem[$k]=${stems(i + k)}"
+        k += 1
+      }
+      fs
+    }
+  }
+
+  private def emissionScores(m: Model, feats: Seq[List[String]]): Array[Array[Double]] = {
+    val L = m.labels.length
+    feats.iterator.map { fs =>
+      val s = new Array[Double](L)
+      fs.foreach { f =>
+        val w = m.emissions.getOrElse(f, null)
+        if (w != null) { var l = 0; while (l < L) { s(l) += w(l); l += 1 } }
+      }
+      s
+    }.toArray
+  }
+
+  /** Viterbi decode: best label sequence under emission + transition +
+    * start/stop potentials.
+    */
+  def viterbi(m: Model, feats: Seq[List[String]]): Vector[String] = {
+    val n = feats.length
+    if (n == 0) return Vector.empty
+    val L = m.labels.length
+    val em = emissionScores(m, feats)
+    val delta = Array.ofDim[Double](n, L)
+    val back = Array.ofDim[Int](n, L)
+    var l = 0
+    while (l < L) { delta(0)(l) = m.start(l) + em(0)(l); l += 1 }
+    var i = 1
+    while (i < n) {
+      var to = 0
+      while (to < L) {
+        var best = Double.NegativeInfinity
+        var arg = 0
+        var from = 0
+        while (from < L) {
+          val v = delta(i - 1)(from) + m.transitions(from)(to)
+          if (v > best) { best = v; arg = from }
+          from += 1
+        }
+        delta(i)(to) = best + em(i)(to)
+        back(i)(to) = arg
+        to += 1
+      }
+      i += 1
+    }
+    var bestLast = 0
+    var bestV = Double.NegativeInfinity
+    l = 0
+    while (l < L) {
+      val v = delta(n - 1)(l) + m.stop(l)
+      if (v > bestV) { bestV = v; bestLast = l }
+      l += 1
+    }
+    val path = new Array[Int](n)
+    path(n - 1) = bestLast
+    i = n - 1
+    while (i > 0) { path(i - 1) = back(i)(path(i)); i -= 1 }
+    path.iterator.map(m.labels).toVector
+  }
+
+  /** Forward-backward marginals P(y_i = l | x) (log-space, stable). */
+  def marginals(m: Model, feats: Seq[List[String]]): Array[Array[Double]] = {
+    val n = feats.length
+    val L = m.labels.length
+    val em = emissionScores(m, feats)
+    def logSumExp(xs: Array[Double]): Double = {
+      var mx = Double.NegativeInfinity
+      xs.foreach(x => if (x > mx) mx = x)
+      if (mx == Double.NegativeInfinity) return mx
+      var s = 0.0
+      xs.foreach(x => s += math.exp(x - mx))
+      mx + math.log(s)
+    }
+    val alpha = Array.ofDim[Double](n, L)
+    val beta = Array.ofDim[Double](n, L)
+    var l = 0
+    while (l < L) { alpha(0)(l) = m.start(l) + em(0)(l); beta(n - 1)(l) = m.stop(l); l += 1 }
+    var i = 1
+    while (i < n) {
+      var to = 0
+      while (to < L) {
+        val tmp = new Array[Double](L)
+        var from = 0
+        while (from < L) { tmp(from) = alpha(i - 1)(from) + m.transitions(from)(to); from += 1 }
+        alpha(i)(to) = logSumExp(tmp) + em(i)(to)
+        to += 1
+      }
+      i += 1
+    }
+    i = n - 2
+    while (i >= 0) {
+      var from = 0
+      while (from < L) {
+        val tmp = new Array[Double](L)
+        var to = 0
+        while (to < L) { tmp(to) = m.transitions(from)(to) + em(i + 1)(to) + beta(i + 1)(to); to += 1 }
+        beta(i)(from) = logSumExp(tmp)
+        from += 1
+      }
+      i -= 1
+    }
+    val lastTmp = new Array[Double](L)
+    l = 0
+    while (l < L) { lastTmp(l) = alpha(n - 1)(l) + m.stop(l); l += 1 }
+    val logZ = logSumExp(lastTmp)
+    val out = Array.ofDim[Double](n, L)
+    i = 0
+    while (i < n) {
+      l = 0
+      while (l < L) { out(i)(l) = math.exp(alpha(i)(l) + beta(i)(l) - logZ); l += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Averaged structured-perceptron training, driver-local, seeded and
+    * deterministic. `data`: per-sentence (features, gold labels).
+    */
+  def train(data: Seq[(IndexedSeq[List[String]], Seq[String])],
+            epochs: Int = 8, seed: Long = 2727L): Model = {
+    val labels = data.flatMap(_._2).distinct.sorted.toVector
+    val L = labels.length
+    val li = labels.zipWithIndex.toMap
+    val emissions = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    val emissionsSum = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    val trans = Array.ofDim[Double](L, L)
+    val transSum = Array.ofDim[Double](L, L)
+    val start = new Array[Double](L); val startSum = new Array[Double](L)
+    val stop = new Array[Double](L); val stopSum = new Array[Double](L)
+    val rng = new scala.util.Random(seed)
+    val idx = data.indices.toArray
+    var step = 1
+    (1 to epochs).foreach { _ =>
+      // deterministic seeded shuffle
+      val order = rng.shuffle(idx.toVector)
+      order.foreach { di =>
+        val (feats, gold) = data(di)
+        if (feats.nonEmpty) {
+          val model = Model(labels, emissions.toMap, trans, start, stop)
+          val pred = viterbi(model, feats)
+          if (pred != gold) {
+            def upd(f: String, l: Int, d: Double): Unit = {
+              val w = emissions.getOrElseUpdate(f, new Array[Double](L))
+              val ws = emissionsSum.getOrElseUpdate(f, new Array[Double](L))
+              w(l) += d; ws(l) += d * step
+            }
+            feats.indices.foreach { i =>
+              val g = li(gold(i)); val p = li(pred(i))
+              if (g != p) {
+                feats(i).foreach { f => upd(f, g, 1.0); upd(f, p, -1.0) }
+              }
+              if (i == 0) {
+                start(g) += 1; startSum(g) += step
+                start(p) -= 1; startSum(p) -= step
+              } else {
+                val gp = li(gold(i - 1)); val pp = li(pred(i - 1))
+                trans(gp)(g) += 1; transSum(gp)(g) += step
+                trans(pp)(p) -= 1; transSum(pp)(p) -= step
+              }
+              if (i == feats.length - 1) {
+                stop(g) += 1; stopSum(g) += step
+                stop(p) -= 1; stopSum(p) -= step
+              }
+            }
+          }
+          step += 1
+        }
+      }
+    }
+    // averaging: w_avg = w - wSum/step
+    val avgEm = emissions.iterator.map { case (f, w) =>
+      val ws = emissionsSum(f)
+      f -> Array.tabulate(L)(l => w(l) - ws(l) / step)
+    }.toMap
+    Model(labels,
+      avgEm,
+      Array.tabulate(L, L)((a, b) => trans(a)(b) - transSum(a)(b) / step),
+      Array.tabulate(L)(l => start(l) - startSum(l) / step),
+      Array.tabulate(L)(l => stop(l) - stopSum(l) / step))
+  }
+
+  /** Hand-constructed model that reproduces exact dictionary tagging:
+    * gazetteer word → B-<class> outscores everything, all other words
+    * prefer O. Used by the oracle-checked driver query (the ML-free
+    * deterministic route, like the reference's stub extractors).
+    */
+  def dictionaryModel(gaz: Map[String, String]): Model = {
+    val classes = gaz.values.toVector.distinct.sorted
+    val labels = ("O" +: classes.flatMap(c => Vector(s"B-$c", s"I-$c"))).toVector
+    val li = labels.zipWithIndex.toMap
+    val L = labels.length
+    val em = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    // bias: every token prefers O unless a gazetteer feature overrides
+    val bias = new Array[Double](L); bias(li("O")) = 1.0
+    gaz.foreach { case (w, cls) =>
+      val a = new Array[Double](L)
+      a(li(s"B-$cls")) = 10.0
+      em.put(s"w[0]=$w", a)
+    }
+    // BOS/EOS and all other features carry no weight; transitions flat
+    em.put("__bias__", bias)
+    Model(labels, em.toMap, Array.ofDim[Double](L, L), new Array[Double](L), new Array[Double](L))
+  }
+
+  /** Distributed scoring: batched mapPartitions over tokenized sentences
+    * with the broadcast model; Viterbi + forward-backward marginals →
+    * BIO-decode (`data.py:236-273`) → mentions with mean-marginal
+    * confidence.
+    */
+  def tag(ts: Dataset[TokenizedSentence], model: Model): Dataset[Mention] = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    ts.mapPartitions { it =>
+      val m = bc.value
+      val oIdx = m.labelIndex.getOrElse("O", -1)
+      it.flatMap { s =>
+        val toks = s.tokens.toIndexedSeq
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val feats = tokenFeatures(toks).map(fs => "__bias__" :: fs)
+          val pred = viterbi(m, feats)
+          val marg = marginals(m, feats)
+          val conf = toks.indices.map { i =>
+            val l = m.labelIndex(pred(i))
+            if (l == oIdx) 0.0 else marg(i)(l)
+          }
+          Labeling.decode(toks, pred, conf).iterator.map { d =>
+            // class id from the first token's label (B-cls / I-cls)
+            val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
+            val cls = if (firstLabel.length > 2) firstLabel.substring(2) else firstLabel
+            // Entity text = part.text[start:end] (`data.py:270`) — exact
+            // substring reconstructed from the sentence text carry.
+            val text = s.sent_text.substring(d.begin - s.sent_start, d.end - s.sent_start)
+            Mention(s.conv_id, s.turn_idx, s.sent_idx, cls, d.begin, d.end,
+              text, d.confidence, TextOps.normKey(text))
+          }
+        }
+      }
+    }
+  }
+}

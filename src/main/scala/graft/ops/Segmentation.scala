@@ -44,8 +44,8 @@ object Segmentation {
   def tokenized(turns: Dataset[Turn], tokenizer: String = "tmvar"): Dataset[TokenizedSentence] = {
     import turns.sparkSession.implicits._
     turns.flatMap { t =>
-      TextOps.segment(t.text, tokenizer).map { case (idx, start, toks) =>
-        TokenizedSentence(t.conv_id, t.turn_idx, idx, start, toks)
+      TextOps.segment(t.text, tokenizer).map { case (idx, start, sent, toks) =>
+        TokenizedSentence(t.conv_id, t.turn_idx, idx, start, sent, toks)
       }
     }
   }

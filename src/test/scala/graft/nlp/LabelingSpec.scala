@@ -14,7 +14,7 @@ class LabelingSpec extends AnyFunSuite {
 
   private def sentences = {
     val segs = TextOps.segment(text, "tmvar")
-    segs.map(_._3)
+    segs.map(_._4)
   }
 
   test("fixture tokenizes into 26 tokens") {

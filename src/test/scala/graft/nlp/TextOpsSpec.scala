@@ -71,11 +71,11 @@ class TextOpsSpec extends AnyFunSuite {
     val text = "Sentence 1: e_1_yolo may be related to e_2_tool plus hey, e_2_coco. Sentence 2: e_1_nin. Sentence 3: e_2_musk. Sentence 4: nothing"
     val segs = TextOps.segment(text, "generic")
     assert(segs.length == 4)
-    segs.foreach { case (_, _, toks) =>
+    segs.foreach { case (_, _, _, toks) =>
       toks.foreach(t => assert(text.substring(t.begin, t.end) == t.word))
     }
     // e_1_yolo must be one token at offset 12 (underscore kept in \w+)
-    val all = segs.flatMap(_._3)
+    val all = segs.flatMap(_._4)
     assert(all.exists(t => t.word == "e_1_yolo" && t.begin == 12))
   }
 

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model._
+
+/** End-to-end pipeline contracts:
+  *  - fused stub route == declarative query route (key sets identical),
+  *  - trained linear scorer hits the BASELINE bar (P/R ≥ 0.95 vs gold)
+  *    on seeded synthetic transcripts,
+  *  - per-turn text byte-equality invariant.
+  */
+class KgPipelineSpec extends SparkSpec {
+
+  private val SubjClass = "e_svc"
+  private val ObjClass = "e_res"
+  private val RelType = "r_uses"
+
+  private val subjDict = Map(
+    "svc_auth" -> SubjClass, "svc_billing" -> SubjClass,
+    "svc_search" -> SubjClass, "job_etl" -> SubjClass,
+    "agent_planner" -> SubjClass)
+  private val objDict = Map(
+    "db_users" -> ObjClass, "db_orders" -> ObjClass, "idx_docs" -> ObjClass,
+    "topic_events" -> ObjClass, "cache_main" -> ObjClass)
+  private val dict = subjDict ++ objDict
+
+  private def dictTagger: IndexedSeq[Tok] => Seq[(String, Int, Int)] =
+    toks => toks.flatMap(t => dict.get(t.word).map(c => (c, t.begin, t.end)))
+
+  test("fused stub pipeline matches declarative query route at sf0.001") {
+    import spark.implicits._
+    val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
+    val fused = KgPipeline.triples(turns,
+      KgPipeline.Config("r_op_obj", GazetteerTagger.OpClass, GazetteerTagger.ObjClass,
+        window = 0, tokenizer = "tmvar"),
+      crfModel = None, gaz = GazetteerTagger.gazetteer, scorer = None)
+      .select("conv_id", "key").as[(String, String)].collect().toSet
+    val declarative = graft.SparkEntry.queries("kg_triples")(spark, "/root/testdata/sf0.001")
+      .select("conv_id", "key").as[(String, String)].collect().toSet
+    assert(fused == declarative)
+  }
+
+  /** Gold triples of a synthetic conversation: the planted fact of each
+    * turn (subject verb object sentence).
+    */
+  private def goldKeys(conv: Int, nTurns: Int): Set[(String, String)] = {
+    (0 until nTurns).flatMap { t =>
+      val turn = Transcripts.syntheticTurn(conv, t, seed = 42L)
+      val words = turn.text.split("[ .]+")
+      val s = words.find(subjDict.contains)
+      val o = words.find(objDict.contains)
+      for (sv <- s; ov <- o) yield {
+        val m1 = Mention(turn.conv_id, t, 0, SubjClass, 0, 0, sv, 1.0, sv)
+        val m2 = Mention(turn.conv_id, t, 0, ObjClass, 0, 0, ov, 1.0, ov)
+        (turn.conv_id, KgPipeline.tripleKey(RelType, m1, m2))
+      }
+    }.toSet
+  }
+
+  test("trained relation scorer reaches P/R >= 0.95 vs gold (BASELINE metric)") {
+    val cfg = KgPipeline.Config(RelType, SubjClass, ObjClass, window = 1, tokenizer = "generic")
+
+    // training data: conversations 0..59. label_edges semantics
+    // (data.py:205-213) is part-level: an edge is positive iff the gold
+    // relation exists in ITS part (= turn here), i.e. the same-sentence
+    // planted fact — cross-turn surface coincidences are negatives.
+    val train = (0 until 60).flatMap { c =>
+      val turns = (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+      val gold = goldKeys(c, 5).map(_._2)
+      KgPipeline.candidateEdges(f"conv_$c%06d", turns, cfg, dictTagger, withFeatures = true)
+        .map(cand => (RelationScoring.hashFeats(cand.feats),
+          if (cand.sameSentence && gold.contains(cand.key)) 1 else -1))
+    }
+    val model = RelationScoring.train(train, epochs = 8)
+
+    // held-out conversations 200..279
+    var tp = 0L; var fp = 0L; var fn = 0L
+    (200 until 280).foreach { c =>
+      val turns = (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+      val pred = KgPipeline.processConversation(f"conv_$c%06d", turns, cfg,
+        dictTagger, Some(model)).map(_.key).toSet
+      val gold = goldKeys(c, 5).map(_._2)
+      tp += (pred & gold).size
+      fp += (pred -- gold).size
+      fn += (gold -- pred).size
+    }
+    val p = tp.toDouble / (tp + fp)
+    val r = tp.toDouble / (tp + fn)
+    assert(p >= 0.95, s"precision=$p (tp=$tp fp=$fp fn=$fn)")
+    assert(r >= 0.95, s"recall=$r (tp=$tp fp=$fp fn=$fn)")
+  }
+
+  test("per-turn text survives segmentation byte-identically") {
+    val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
+    assert(Segmentation.invariantViolations(turns).count() == 0)
+    // and every tokenized sentence carries an exact substring of its turn
+    val bad = Segmentation.tokenized(turns).filter { s =>
+      s.tokens.exists(t =>
+        s.sent_text.substring(t.begin - s.sent_start, t.end - s.sent_start) != t.word)
+    }
+    assert(bad.count() == 0)
+  }
+}
