@@ -59,8 +59,33 @@ object SparkEntry {
     }),
     "kg_eval" -> ((s, dir) => kgEval(s, dir)),
     "kg_cc" -> ((s, dir) => kgCc(s, dir)),
-    "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir))
+    "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
+
+    // ---- training-data pipeline operators ----------------------------
+    "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dd_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), n = 5, threshold = 0.1)),
+    "dd_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), threshold = 0.5)),
+    "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nBits = 6, tables = 8)
+    }),
+    "txt_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "txt_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "txt_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "txt_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** The fused one-shuffle extraction pipeline (KgPipeline.triples) run
     * in stub mode over the documents-derived transcripts: provably
@@ -315,6 +340,80 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
         |)
-        |SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""".stripMargin
+        |SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY text) AS rep_id,
+        |       count(*) OVER (PARTITION BY text) > 1 AS is_dup_group
+        |FROM documents""".stripMargin,
+
+    "dd_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b,
+        |       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10
+        |),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "txt_quality" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |  CAST(list_max(list_transform(words, x -> length(x))) AS BIGINT) AS max_word_len,
+        |  CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS BIGINT) AS stopword_count,
+        |  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+        |FROM w""".stripMargin,
+
+    "txt_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+        |FROM t""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + length(text) % 577 AS INT) AS width,
+        |  CAST(64 + (length(text) * 31) % 433 AS INT) AS height,
+        |  CAST(1 + length(text) % 7 AS INT) AS n_frames
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.nlp.Hashes
+
+/** Deduplication operators for large-scale training-data curation.
+  * All candidate generation is inverted-index/bucket based — never an
+  * O(n²) cross join — so each stage scales linearly in corpus size with
+  * shuffles keyed on bucket ids.
+  */
+object Dedup {
+
+  /** Exact dedup: representative id = min doc_id over identical text.
+    * One hash-shuffle on the text (Spark groups by the value itself;
+    * at 100 TB you'd group by xxhash64(text) first and verify within
+    * groups — semantics identical on collision-free data).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("rep_id"),
+        (col("group_size") > 1).as("is_dup_group"))
+  }
+
+  /** Word n-gram shingle Jaccard near-dup pairs via inverted index:
+    * explode shingles → self-join on shingle (candidate pairs share ≥1
+    * shingle) → exact Jaccard on intersection counts. `n` large enough
+    * that shingle buckets are selective (5-grams here).
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingled = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          // all n-word windows: slice the split array
+          sequence(lit(0), greatest(size(split(col("text"), " ")) - n, lit(0))),
+          i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(n)))
+        ))).as("shingle"))
+      .distinct()
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shingled.select(col("doc_id").as("a"), col("shingle"))
+    val b = shingled.select(col("doc_id").as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("sb")), Seq("b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash + banded LSH near-dup candidates, verified by true shingle
+    * Jaccard. Deterministic permutations derived from splitmix64 salts
+    * (graft.nlp.Hashes.minhash). bands×rows = numPerm; two docs collide
+    * when all `rows` signature slots of some band agree.
+    */
+  def minhashLsh(docs: DataFrame, shingleN: Int = 3, numPerm: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split("\\s+").toIndexedSeq
+        val sh = Hashes.shingles(words, shingleN)
+        (id, Hashes.minhash(sh, numPerm), sh.toArray)
+      }.toDF("doc_id", "sig", "shingles")
+    val banded = sigs.select(col("doc_id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", b, hash(slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("doc_id").as("a"), col("shingles").as("sha"), col("bucket"))
+    val r = banded.select(col("doc_id").as("b"), col("shingles").as("shb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb").distinct()
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (x, y, sa, sb) =>
+        val inter = sa.toSet.intersect(sb.toSet).size
+        (x, y, inter.toDouble / (sa.length + sb.length - inter))
+      }.toDF("a", "b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over word features; near-dup pairs =
+    * hamming ≤ `maxHamming` via 4-block LSH (pigeonhole: any pair within
+    * hamming 3 of 64 bits shares at least one identical 16-bit block).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val feats = text.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => (Hashes.fnv1a64(w), 1))
+        (id, Hashes.simhash(feats))
+      }.toDF("doc_id", "simhash")
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = simhash(docs).as[(Long, Long)]
+    val blocked = sh.flatMap { case (id, h) =>
+      (0 until 4).map(b => (b.toLong << 32 | ((h >>> (b * 16)) & 0xffffL), id, h))
+    }.toDF("block", "doc_id", "simhash")
+    val l = blocked.select(col("block"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = blocked.select(col("block"), col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("block")).filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (x, y, ha, hb) => (x, y, Hashes.hamming(ha, hb)) }
+      .toDF("a", "b", "hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

