@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry for the checkpointed KG materialization:
+  * `graft.Materialize <sfDir> <outputRoot>` — runs (or resumes) the
+  * transcripts → mentions → edges → triples → nodes stage chain with
+  * per-partition lineage (see graft.ops.Stages).
+  */
+object Materialize {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, root) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reports = ops.Stages.materializeAll(spark, sfDir, root)
+    reports.foreach { r =>
+      val n = spark.read.parquet(r.outputPath).count()
+      println(s"[materialize] stage=${r.stage} skipped=${r.skipped} rows=$n path=${r.outputPath}")
+    }
+    spark.stop()
+  }
+}

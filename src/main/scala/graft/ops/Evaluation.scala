@@ -88,6 +88,48 @@ object Evaluation {
     Counts(tp, fp, fn, 0, 0)
   }
 
+  /** Bootstrap standard errors over per-document counts —
+    * `EvaluationWithStandardError` (`evaluators.py:104-172`): n resamples
+    * of round(p·|docs|) document keys WITHOUT replacement, SE =
+    * sqrt(Σ(x-mean)²/(n-1))/sqrt(n), small values ×4
+    * (`evaluators.py:137-143`). The reference samples seedlessly; we fix
+    * the seed (SURVEY §4: determinism fixed).
+    *
+    * Per-doc counts are tiny relative to the corpus (one row per
+    * conversation), so this runs on collected counts like the reference.
+    */
+  def bootstrapSE(perDoc: Map[String, Counts], strictness: String,
+                  n: Int = 1000, p: Double = 0.15, seed: Long = 2727L): (PRF, PRF) = {
+    def get(keys: Iterable[String]): Counts = {
+      var tp = 0L; var fp = 0L; var fn = 0L; var fpo = 0L; var fno = 0L
+      keys.foreach { k =>
+        perDoc.get(k).foreach { c =>
+          tp += c.tp; fp += c.fp; fn += c.fn; fpo += c.fpOv; fno += c.fnOv
+        }
+      }
+      Counts(tp, fp, fn, fpo, fno)
+    }
+    val mean = compute(get(perDoc.keys), strictness)
+    val keys = perDoc.keys.toVector.sorted
+    val m = math.round(keys.length * p).toInt
+    val rng = new scala.util.Random(seed)
+    val samples = (1 to n).map { _ =>
+      val shuffled = rng.shuffle(keys)
+      compute(get(shuffled.take(m)), strictness)
+    }
+    def se(meanV: Double, xs: Seq[Double]): Double = {
+      val clean = xs.filterNot(_.isNaN)
+      val nn = clean.length
+      val s = if (nn <= 1) 0.0
+      else math.sqrt(clean.map(x => (x - meanV) * (x - meanV)).sum / (nn - 1)) / math.sqrt(nn)
+      if (s <= 0.00001) s * 4 else s
+    }
+    (mean, PRF(
+      se(mean.precision, samples.map(_.precision)),
+      se(mean.recall, samples.map(_.recall)),
+      se(mean.fMeasure, samples.map(_.fMeasure))))
+  }
+
   /** Per-document relation counts as a DataFrame (the distributed form —
     * the scalar Counts variant above collects only final sums).
     */

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Checkpoint-resumable stage boundaries with per-partition lineage —
+  * north_rule: "materializing nodes/edges tables back to [the lake] with
+  * per-partition lineage rows and checkpoint-resumable stage boundaries".
+  *
+  * Each stage materializes to `<root>/<stage>` (parquet here; the write
+  * goes through [[TableIO]] so an Iceberg catalog drops in by swapping
+  * the format — the sandbox ships no Iceberg runtime jar). A stage whose
+  * `_SUCCESS` marker exists is SKIPPED on resume and its output read
+  * back; otherwise the stage runs instrumented: every task records
+  * (partition_id, output_rows, wall_ms) through an accumulator, and the
+  * rows land in `<root>/_lineage` together with the stage name and a
+  * caller-supplied logical timestamp (never wall-clock-dependent logic —
+  * the ts is informational).
+  */
+object Stages {
+
+  /** Storage seam: parquet now, Iceberg-ready (same call sites). */
+  object TableIO {
+    def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    }
+    def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+    def exists(spark: SparkSession, path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+  }
+
+  final case class RunReport(stage: String, skipped: Boolean, outputPath: String)
+
+  private def instrument(df: DataFrame,
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)]): DataFrame = {
+    val schema = df.schema
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var n = 0L
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && n >= 0) {
+            acc.add((pid, n, (System.nanoTime() - t0) / 1000000))
+            n = -1 // emit once
+          }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = { n += 1; it.next() }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Run (or resume-skip) one stage. Returns its output DataFrame,
+    * always read back from storage so downstream stages cut lineage.
+    */
+  def run(spark: SparkSession, root: String, stage: String,
+          partitionBy: Seq[String] = Nil)(f: => DataFrame): (DataFrame, RunReport) = {
+    val out = s"$root/$stage"
+    if (TableIO.exists(spark, out)) {
+      (TableIO.read(spark, out), RunReport(stage, skipped = true, out))
+    } else {
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)](s"lineage_$stage")
+      TableIO.write(instrument(f, acc), out, partitionBy)
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val rows = acc.value.asScala.toSeq
+        .map { case (pid, n, ms) => (stage, pid, n, ms) }
+      if (rows.nonEmpty) {
+        rows.toDF("stage", "partition_id", "output_rows", "wall_ms")
+          .withColumn("ts", current_timestamp())
+          .write.mode("append").parquet(s"$root/_lineage")
+      }
+      (TableIO.read(spark, out), RunReport(stage, skipped = false, out))
+    }
+  }
+
+  /** The full checkpointed KG materialization: transcripts → mentions →
+    * edges → triples → nodes, each stage resumable, outputs partitioned
+    * for downstream conv_id locality.
+    */
+  def materializeAll(spark: SparkSession, sfDir: String, root: String): Seq[RunReport] = {
+    val reports = Seq.newBuilder[RunReport]
+    val (transcripts, r1) = run(spark, root, "transcripts") {
+      Transcripts.fromDocuments(spark, sfDir)
+    }
+    reports += r1
+    val (mentions, r2) = run(spark, root, "mentions") {
+      GazetteerTagger.tag(Segmentation.tokenized(Segmentation.turns(transcripts))).toDF()
+    }
+    reports += r2
+    import spark.implicits._
+    val typedMentions = mentions.as[graft.model.Mention]
+    val (edges, r3) = run(spark, root, "edges") {
+      EdgeGen.turnWindow(GazetteerTagger.grouped(typedMentions),
+        GazetteerTagger.OpClass, GazetteerTagger.ObjClass, "r_op_obj", window = 1)
+    }
+    reports += r3
+    val (_, r4) = run(spark, root, "triples") {
+      Triples.fromTurnEdges(edges, "r_op_obj",
+        GazetteerTagger.OpClass, GazetteerTagger.ObjClass)
+    }
+    reports += r4
+    val (_, r5) = run(spark, root, "nodes") {
+      Linking.nodes(typedMentions)
+    }
+    reports += r5
+    reports.result()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Reader/writer contracts: PubTator round-trip, blank-line part split,
+  * TSV, gold JSON with offset validation side-output.
+  */
+class FormatsSpec extends SparkSpec {
+
+  test("PubTator: write then read round-trips docs and annotations") {
+    import spark.implicits._
+    val docs = Seq(("d1", "alpha beta gamma"), ("d2", "delta epsilon")).toDF("doc_id", "text")
+    val anns = Seq(("d1", 0, 5, "alpha", "e_x"), ("d2", 6, 13, "epsilon", "e_y"))
+      .toDF("doc_id", "begin", "end", "text", "class_id")
+    val dir = Files.createTempDirectory("pubtator").toString
+    Formats.toPubTator(docs, anns).select("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val (gotDocs, gotAnns) = Formats.fromPubTator(spark, dir)
+    assert(gotDocs.select("doc_id", "text").as[(String, String)].collect().toSet ==
+      Set(("d1", "alpha beta gamma"), ("d2", "delta epsilon")))
+    assert(gotAnns.as[(String, Int, Int, String, String)].collect().toSet ==
+      Set(("d1", 0, 5, "alpha", "e_x"), ("d2", 6, 13, "epsilon", "e_y")))
+  }
+
+  test("reference stub.pubtator parses: title+abstract docs, offset-valid anns") {
+    import spark.implicits._
+    val (docs, anns) = Formats.fromPubTator(spark,
+      "/root/reference/resources/corpora/demo/stub.pubtator")
+    val d = docs.as[(String, String)].collect().toMap
+    assert(d.contains("darkunit123"))
+    assert(d("darkunit123").startsWith("I like trains"))
+    // every annotation's span must match the document text (the shared
+    // title+' '+abstract coordinate space of the reference reader)
+    val bad = anns.as[(String, Int, Int, String, String)].collect().filter {
+      case (id, b, e, t, _) =>
+        !d.contains(id) || d(id).length < e || d(id).substring(b, e) != t
+    }
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+    // the demo stub carries no annotation rows — the parse must simply
+    // be empty, not fail
+    assert(anns.count() == 0)
+  }
+
+  test("text-files reader: blank-line paragraphs become parts") {
+    val dir = Files.createTempDirectory("txt")
+    Files.writeString(dir.resolve("doc1.txt"), "para one here\n\npara two here")
+    import spark.implicits._
+    val got = Formats.fromTextFiles(spark, dir.toString)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("doc1", "p1", "para one here"), ("doc1", "p2", "para two here")))
+  }
+
+  test("gold JSON reader validates offsets and side-outputs violations") {
+    val dir = Files.createTempDirectory("gold")
+    Files.writeString(dir.resolve("g.json"),
+      """{"doc_id":"d1","anncomplete":true,"text":"alpha beta","entities":[
+        |{"class_id":"e_x","offset":0,"text":"alpha"},
+        |{"class_id":"e_x","offset":6,"text":"WRONG"}]}""".stripMargin.replace("\n", ""))
+    import spark.implicits._
+    val (valid, violations) = Formats.goldFromJson(spark, dir.toString)
+    assert(valid.select("doc_id", "class_id", "begin", "text")
+      .as[(String, String, Int, String)].collect().toSet ==
+      Set(("d1", "e_x", 0, "alpha")))
+    assert(violations.count() == 1)
+  }
+}
