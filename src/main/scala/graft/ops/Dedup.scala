@@ -33,13 +33,20 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shingled = docs.select(col("doc_id"),
+    // split once into a column — split() inside the transform lambda
+    // would re-tokenize per window
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
         explode(array_distinct(transform(
-          // all n-word windows: slice the split array
-          sequence(lit(0), greatest(size(split(col("text"), " ")) - n, lit(0))),
-          i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(n)))
+          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
         ))).as("shingle"))
       .distinct()
+      // both the inverted-index self-join sides and the size lookup read
+      // this — persist to shingle once (the checkpointable intermediate
+      // at scale)
+      .persist()
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = shingled.select(col("doc_id").as("a"), col("shingle"))
     val b = shingled.select(col("doc_id").as("b"), col("shingle"))

@@ -38,7 +38,8 @@ object KgPipeline {
     */
   final case class Candidate(
       m1: Mention, m2: Mention, turn1: Int, sameSentence: Boolean,
-      sentDist: Int, key: String, feats: Map[String, Double])
+      sentDist: Int, key: String, feats: Map[String, Double],
+      score: Double = 1.0)
 
   def tripleKey(relType: String, m1: Mention, m2: Mention): String = {
     val e1 = s"${m1.class_id}|${m1.text.toLowerCase}"
@@ -56,11 +57,22 @@ object KgPipeline {
       turns: Seq[Turn],
       cfg: Config,
       tagger: IndexedSeq[Tok] => Seq[(String, Int, Int)],
-      withFeatures: Boolean): Vector[Candidate] = {
+      withFeatures: Boolean,
+      scorer: Option[RelationScoring.LinearModel] = None): Vector[Candidate] = {
 
     val sorted = turns.sortBy(_.turn_idx)
+    // per-sentence dependency parse memoized across all edges touching
+    // the sentence (the reference memoizes its per-sentence graphs the
+    // same way, utils/graph.py:29-46)
     final case class SentCtx(turnIdx: Int, sentIdx: Int, toks: IndexedSeq[Tok],
-        mentions: Seq[Mention])
+        mentions: Seq[Mention]) {
+      lazy val parse: (Array[List[Int]], Array[Int]) = {
+        val hs = DepGraph.heads(toks)
+        val adj = DepGraph.adjacency(toks.length, hs)
+        val root = hs.indices.find(i => hs(i) == i).getOrElse(0)
+        (adj, DepGraph.depths(adj, root))
+      }
+    }
     val ctxs: Vector[SentCtx] = sorted.iterator.flatMap { t =>
       TextOps.segment(t.text, cfg.tokenizer).map { case (si, _, _, toks) =>
         val ms = tagger(toks).map { case (cls, b, e) =>
@@ -91,15 +103,25 @@ object KgPipeline {
           val sentDist =
             if (c1.turnIdx == c2.turnIdx) math.abs(c2.sentIdx - c1.sentIdx)
             else cfg.window + math.abs(c2.turnIdx - c1.turnIdx)
+          def ctx: (IndexedSeq[Tok], Mention, Mention, Array[List[Int]], Array[Int]) =
+            if (sameSent) {
+              val (adj, depth) = c1.parse
+              (c1.toks, m1, m2, adj, depth)
+            } else combined(c1.toks, c2.toks, sameSent, m1, m2)
           val feats =
             if (!withFeatures) Map.empty[String, Double]
             else {
-              val (toks, mm1, mm2, adj, depth) =
-                combined(c1.toks, c2.toks, sameSent, m1, m2)
+              val (toks, mm1, mm2, adj, depth) = ctx
               RelationScoring.features(toks, adj, depth, mm1, mm2, sameSent, sentDist)
             }
+          val score = scorer match {
+            case None => 1.0
+            case Some(lm) =>
+              val (toks, mm1, mm2, adj, depth) = ctx
+              RelationScoring.scoreEdge(lm, toks, adj, depth, mm1, mm2, sameSent, sentDist)
+          }
           out += Candidate(m1, m2, t1, sameSent, sentDist,
-            tripleKey(cfg.relType, m1, m2), feats)
+            tripleKey(cfg.relType, m1, m2), feats, score)
         }
       }
     }
@@ -119,12 +141,9 @@ object KgPipeline {
       scorer: Option[RelationScoring.LinearModel]): Vector[TripleRow] = {
 
     val out = scala.collection.mutable.HashMap.empty[String, TripleRow]
-    candidateEdges(convId, turns, cfg, tagger, withFeatures = scorer.isDefined)
+    candidateEdges(convId, turns, cfg, tagger, withFeatures = false, scorer)
       .foreach { c =>
-        val score = scorer match {
-          case None => 1.0
-          case Some(lm) => lm.score(RelationScoring.hashFeats(c.feats))
-        }
+        val score = c.score
         if (score > 0) {
           val row = TripleRow(convId, c.turn1, cfg.relType,
             s"${c.m1.class_id}|${c.m1.text.toLowerCase}",

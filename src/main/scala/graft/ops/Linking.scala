@@ -85,6 +85,9 @@ object Linking {
     var comp = sym.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
       .localCheckpoint()
+    // Σcomp decreases strictly every round until fixpoint — a single
+    // cheap aggregate doubles as the convergence test (no extra join)
+    var sigma = comp.agg(sum($"comp")).first().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -94,18 +97,18 @@ object Linking {
       val next = comp.join(nbrMin, Seq("node"), "left")
         .select($"node",
           least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
-        .localCheckpoint()
       // pointer-jumping: comp ← comp of comp (path halving, makes the
-      // label hop two steps per round instead of one)
+      // label hop two steps per round instead of one); one checkpoint
+      // per round cuts lineage and is the only materializing job
       val jumped = next.as("a")
         .join(next.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           least(col("a.comp"), coalesce(col("b.comp"), col("a.comp"))).as("comp"))
         .localCheckpoint()
-      val changed = comp.as("o").join(jumped.as("n"), "node")
-        .filter(col("o.comp") =!= col("n.comp")).limit(1).count()
+      val newSigma = jumped.agg(sum($"comp")).first().getLong(0)
       comp = jumped
-      converged = changed == 0
+      converged = newSigma == sigma
+      sigma = newSigma
       iter += 1
     }
     comp

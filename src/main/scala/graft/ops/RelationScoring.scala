@@ -32,6 +32,7 @@ object RelationScoring {
 
   /** Sentence-local candidate: tokens of the (possibly combined) sentence,
     * token index of each entity head, char spans of the two mentions.
+    * Map form — used by TRAINING (needs materialized vectors) and tests.
     */
   def features(
       toks: IndexedSeq[Tok],
@@ -39,10 +40,41 @@ object RelationScoring {
       depth: Array[Int],
       m1: Mention, m2: Mention,
       sameSentence: Boolean, sentDist: Int): Map[String, Double] = {
-
     val out = scala.collection.mutable.HashMap.empty[String, Double]
-    def add(f: String, v: Double = 1.0): Unit =
+    enumerate(toks, adj, depth, m1, m2, sameSentence, sentDist) { (f, v) =>
       out.update(f, out.getOrElse(f, 0.0) + v)
+    }
+    out.toMap
+  }
+
+  /** Zero-materialization scoring: identical feature enumeration, each
+    * (name, value) folded straight into w·x — no map, no vector, no
+    * sort. This is the inference hot path (GC-bound at 32 threads
+    * otherwise).
+    */
+  def scoreEdge(model: LinearModel,
+      toks: IndexedSeq[Tok], adj: Array[List[Int]], depth: Array[Int],
+      m1: Mention, m2: Mention,
+      sameSentence: Boolean, sentDist: Int): Double = {
+    var s = model.b
+    enumerate(toks, adj, depth, m1, m2, sameSentence, sentDist) { (f, v) =>
+      s += model.w(h(f)) * v
+    }
+    s
+  }
+
+  /** Single source of truth for the edge feature set; both the training
+    * (Map) and inference (fold) paths stream through here, so hashed
+    * indices agree by construction.
+    */
+  private def enumerate(
+      toks: IndexedSeq[Tok],
+      adj: Array[List[Int]],
+      depth: Array[Int],
+      m1: Mention, m2: Mention,
+      sameSentence: Boolean, sentDist: Int)(add0: (String, Double) => Unit): Unit = {
+
+    def add(f: String, v: Double = 1.0): Unit = add0(f, v)
 
     def spanTokens(m: Mention): IndexedSeq[Int] =
       toks.indices.filter(i => toks(i).begin >= m.begin && toks(i).end <= m.end)
@@ -105,7 +137,6 @@ object RelationScoring {
         }
       } else add("pd_unreachable")
     }
-    out.toMap
   }
 
   def hashFeats(m: Map[String, Double]): Feats = {
