@@ -76,6 +76,25 @@ object SparkEntry {
     "kg_eval" -> ((s, dir) => kgEval(s, dir)),
     "kg_cc" -> ((s, dir) => kgCc(s, dir)),
     "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
+    "kg_crf_mentions" -> ((s, dir) => {
+      // CRF route: broadcast-weights Viterbi with the dictionary-exact
+      // model — must reproduce gazetteer tagging bit-for-bit (minus the
+      // marginal-based confidence, excluded from the oracle compare)
+      Crf.tag(tokenizedOf(s, dir), Crf.dictionaryModel(GazetteerTagger.gazetteer))
+        .toDF().drop("confidence")
+    }),
+    "kg_scored" -> ((s, dir) => {
+      // SVM-style route: fused pipeline with broadcast linear scoring
+      // (all-positive model — full feature computation under the oracle)
+      val turns = Segmentation.turns(Transcripts.fromDocuments(s, dir))
+      KgPipeline.triples(turns,
+        KgPipeline.Config(Rel, OpClass, ObjClass, window = 0, tokenizer = "tmvar"),
+        crfModel = None, gaz = GazetteerTagger.gazetteer,
+        scorer = Some(RelationScoring.LinearModel(
+          new Array[Double](RelationScoring.Dims), b = 1.0)))
+        .select(col("conv_id"), col("turn_idx"), col("pred"), col("subj"),
+          col("obj"), col("key"))
+    }),
 
     // ---- training-data pipeline operators ----------------------------
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -325,6 +344,42 @@ object SparkEntry {
          |  END AS f1
          |FROM c""".stripMargin
     },
+
+    // BIO-decode semantics (data.py:236-273): a mention is a maximal run
+    // of consecutive non-O-labeled tokens — ADJACENT gazetteer tokens
+    // merge into one span, class taken from the run's first token.
+    // Gaps-and-islands over token ids reproduces the decode in SQL.
+    "kg_crf_mentions" ->
+      s"""WITH $M,
+         |runs AS (
+         |  SELECT conv_id, turn_idx, pos, word, b,
+         |         $gazCase AS class_id,
+         |         pos - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp
+         |  FROM toks
+         |  WHERE word IN ('merge','filter','scan','sort','table','vector','stream','batch')
+         |)
+         |SELECT conv_id, turn_idx, CAST(0 AS INT) AS sent_idx,
+         |       arg_min(class_id, pos) AS class_id,
+         |       CAST(min(b) AS INT) AS "begin",
+         |       CAST(max(b + length(word)) AS INT) AS "end",
+         |       string_agg(word, ' ' ORDER BY pos) AS text,
+         |       string_agg(word, ' ' ORDER BY pos) AS norm
+         |FROM runs GROUP BY conv_id, turn_idx, grp""".stripMargin,
+
+    "kg_scored" ->
+      s"""WITH $M,
+         |pairs AS (
+         |  SELECT m1.conv_id, m1.word AS w1, m2.word AS w2,
+         |         min(m1.turn_idx) AS turn_idx
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT conv_id, turn_idx, '$Rel' AS pred,
+         |       '$OpClass|' || w1 AS subj, '$ObjClass|' || w2 AS obj,
+         |       '$Rel|$ObjClass|' || w2 || '|$OpClass|' || w1 AS key
+         |FROM pairs""".stripMargin,
 
     "kg_pipeline" ->
       s"""WITH $M,
