@@ -51,15 +51,14 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"))
   }
 
-  /** Rolling-hash document fingerprint (base-257 poly mod 2^61-1,
-    * graft.nlp.Hashes.fingerprint) — stable across partitions/engines;
-    * rows-only driver check plus ScalaTest goldens.
+  /** Rolling-hash document fingerprint (base-257 poly mod 2^61-1) via
+    * the native codegen expression graft.functions.TextFingerprint —
+    * stays in WholeStageCodegen, no row deserialization. Bit-identical
+    * to graft.nlp.Hashes.fingerprint (tested); rows-only driver check
+    * plus ScalaTest goldens.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, Hashes.fingerprint(t)) }
-      .toDF("doc_id", "fingerprint")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_fingerprint(text)").as("fingerprint"))
   }
 }

@@ -101,6 +101,60 @@ object TokenFeatures {
       }
     }
 
+  /** `DiscreteWordEmbeddingsFeatureGenerator` (`embeddings.py:34-61`):
+    * per-dimension histogram-binned embedding values as string features;
+    * bin edges precomputed per dimension (n bins over [min, max]).
+    */
+  def discreteWordEmbeddings(sent: IndexedSeq[Tok],
+                             vectors: Map[String, Array[Float]],
+                             binEdges: Array[Array[Float]]): IndexedSeq[FeatMap] =
+    sent.map { t =>
+      val key = t.word.toLowerCase.replaceAll("[0-9]", "0")
+      vectors.get(key) match {
+        case Some(v) =>
+          v.iterator.zipWithIndex.map { case (x, d) =>
+            val edges = binEdges(d)
+            var bin = 0
+            while (bin < edges.length && x > edges(bin)) bin += 1
+            s"embedding_$d[0]" -> bin.toString
+          }.toMap
+        case None => Map.empty[String, String]
+      }
+    }
+
+  /** `BinarizedWordEmbeddingsFeatureGenerator` (`embeddings.py:64-93`):
+    * +/−/0 per dimension vs the per-dimension positive/negative means.
+    */
+  def binarizedWordEmbeddings(sent: IndexedSeq[Tok],
+                              vectors: Map[String, Array[Float]],
+                              posMean: Array[Float], negMean: Array[Float]): IndexedSeq[FeatMap] =
+    sent.map { t =>
+      val key = t.word.toLowerCase.replaceAll("[0-9]", "0")
+      vectors.get(key) match {
+        case Some(v) =>
+          v.iterator.zipWithIndex.map { case (x, d) =>
+            val s = if (x > posMean(d)) "+" else if (x < negMean(d)) "-" else "0"
+            s"embedding_$d[0]" -> s
+          }.toMap
+        case None => Map.empty[String, String]
+      }
+    }
+
+  /** `ExternalPredictedLabelsFeatureGenerator` (`simple.py:61-93`):
+    * positional join of an external per-token score table on
+    * (conv_id, turn_idx, sent_idx, tid) — weight × probability feature.
+    */
+  def externalLabels(tokens: org.apache.spark.sql.DataFrame,
+                     scores: org.apache.spark.sql.DataFrame,
+                     weight: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    tokens.join(scores, Seq("conv_id", "turn_idx", "sent_idx", "tid"), "left")
+      .withColumn("ext_feature",
+        when(col("ext_label").isNotNull,
+          concat(lit("ext="), col("ext_label"))).cast("string"))
+      .withColumn("ext_value", coalesce(col("ext_prob") * weight, lit(0.0)))
+  }
+
   /** `BrownClusteringFeatureGenerator` (`embeddings.py:96-114`). */
   def brownClusters(sent: IndexedSeq[Tok], clusters: Map[String, String]): IndexedSeq[FeatMap] =
     sent.map { t =>

@@ -106,6 +106,61 @@ object Formats {
     (valid, violations)
   }
 
+  /** Multi-annotator merge (`AnnJsonMergerAnnotationReader`,
+    * `utils/annotation_readers.py:208-330`) re-expressed relationally:
+    * overlap-join the two annotators' mention sets (same doc + class,
+    * char ranges intersect — Entity 'exact_or_overlapping' equality,
+    * `data.py:1923-1941`), resolve each overlap by strategy
+    * ('shortest' | 'longest' | 'priority' = left annotator wins), then
+    *  - intersection: resolved overlaps only,
+    *  - union: resolved overlaps + both sides' non-overlapping rest.
+    * Ties and the reference's greedy index bookkeeping are replaced by
+    * deterministic ranking (first overlap by begin); the reference
+    * itself flags this reader as not thoroughly tested.
+    * Mention schema: (doc_id, class_id, begin, text).
+    */
+  def mergeAnnotators(a: DataFrame, b: DataFrame, strategy: String = "union",
+                      entityStrategy: String = "shortest"): DataFrame = {
+    require(Set("union", "intersection")(strategy))
+    require(Set("shortest", "longest", "priority")(entityStrategy))
+    val keyCols = Seq("doc_id", "class_id", "begin", "text")
+    val l = a.select(keyCols.map(col): _*)
+      .withColumn("end", col("begin") + length(col("text")))
+    val r = b.select(keyCols.map(col): _*).toDF(keyCols.map(_ + "_r"): _*)
+      .withColumn("end_r", col("begin_r") + length(col("text_r")))
+    val overlapped = l.join(r,
+      col("doc_id") === col("doc_id_r") && col("class_id") === col("class_id_r") &&
+        col("begin") < col("end_r") && col("end") > col("begin_r"))
+    // one resolution per left mention: its first overlapping partner
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "class_id", "begin", "text")
+      .orderBy(col("begin_r"), col("text_r"))
+    val resolved = overlapped.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("pick_left", entityStrategy match {
+        case "priority" => lit(true)
+        case "shortest" => length(col("text")) <= length(col("text_r"))
+        case "longest"  => length(col("text")) >= length(col("text_r"))
+      })
+      .select(col("doc_id"), col("class_id"),
+        when(col("pick_left"), col("begin")).otherwise(col("begin_r")).as("begin"),
+        when(col("pick_left"), col("text")).otherwise(col("text_r")).as("text"))
+      .distinct()
+    if (strategy == "intersection") resolved
+    else {
+      val lOnly = l.join(r,
+        col("doc_id") === col("doc_id_r") && col("class_id") === col("class_id_r") &&
+          col("begin") < col("end_r") && col("end") > col("begin_r"), "left_anti")
+        .select(keyCols.map(col): _*)
+      val rOnly = r.join(l,
+        col("doc_id") === col("doc_id_r") && col("class_id") === col("class_id_r") &&
+          col("begin") < col("end_r") && col("end") > col("begin_r"), "left_anti")
+        .select(col("doc_id_r").as("doc_id"), col("class_id_r").as("class_id"),
+          col("begin_r").as("begin"), col("text_r").as("text"))
+      resolved.unionByName(lOnly).unionByName(rOnly).distinct()
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Writers
   // ---------------------------------------------------------------------

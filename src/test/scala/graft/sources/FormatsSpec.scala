@@ -64,4 +64,31 @@ class FormatsSpec extends SparkSpec {
       Set(("d1", "e_x", 0, "alpha")))
     assert(violations.count() == 1)
   }
+
+  test("mergeAnnotators: union + shortest resolves overlaps") {
+    import spark.implicits._
+    val a = Seq(("d1", "e_x", 0, "alpha beta"), ("d1", "e_x", 20, "gamma"))
+      .toDF("doc_id", "class_id", "begin", "text")
+    val b = Seq(("d1", "e_x", 0, "alpha"), ("d1", "e_y", 40, "delta"))
+      .toDF("doc_id", "class_id", "begin", "text")
+    val union = Formats.mergeAnnotators(a, b, "union", "shortest")
+      .as[(String, String, Int, String)].collect().toSet
+    // overlap (alpha beta ~ alpha) -> shortest wins; rest unioned
+    assert(union == Set(
+      ("d1", "e_x", 0, "alpha"), ("d1", "e_x", 20, "gamma"), ("d1", "e_y", 40, "delta")))
+    val inter = Formats.mergeAnnotators(a, b, "intersection", "longest")
+      .as[(String, String, Int, String)].collect().toSet
+    assert(inter == Set(("d1", "e_x", 0, "alpha beta")))
+    val prio = Formats.mergeAnnotators(a, b, "intersection", "priority")
+      .as[(String, String, Int, String)].collect().toSet
+    assert(prio == Set(("d1", "e_x", 0, "alpha beta"))) // left annotator wins
+  }
+
+  test("mergeAnnotators: different classes never merge") {
+    import spark.implicits._
+    val a = Seq(("d1", "e_x", 0, "alpha")).toDF("doc_id", "class_id", "begin", "text")
+    val b = Seq(("d1", "e_y", 0, "alpha")).toDF("doc_id", "class_id", "begin", "text")
+    assert(Formats.mergeAnnotators(a, b, "union", "shortest").count() == 2)
+    assert(Formats.mergeAnnotators(a, b, "intersection", "shortest").count() == 0)
+  }
 }
