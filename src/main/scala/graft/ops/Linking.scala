@@ -86,8 +86,11 @@ object Linking {
       .withColumn("comp", $"node")
       .localCheckpoint()
     // Σcomp decreases strictly every round until fixpoint — a single
-    // cheap aggregate doubles as the convergence test (no extra join)
-    var sigma = comp.agg(sum($"comp")).first().getLong(0)
+    // cheap aggregate doubles as the convergence test (no extra join).
+    // coalesce: sum over an empty/self-loop-only graph is NULL.
+    def sigmaOf(df: DataFrame): Long =
+      df.agg(coalesce(sum($"comp"), lit(0L))).first().getLong(0)
+    var sigma = sigmaOf(comp)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -105,7 +108,7 @@ object Linking {
         .select(col("a.node").as("node"),
           least(col("a.comp"), coalesce(col("b.comp"), col("a.comp"))).as("comp"))
         .localCheckpoint()
-      val newSigma = jumped.agg(sum($"comp")).first().getLong(0)
+      val newSigma = sigmaOf(jumped)
       comp = jumped
       converged = newSigma == sigma
       sigma = newSigma

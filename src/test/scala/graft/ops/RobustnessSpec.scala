@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Turn
+import java.sql.Timestamp
+
+/** Degenerate-input contracts: the engine must not throw on empty text,
+  * whitespace-only turns, sparse turn indices, unicode, or conversations
+  * with no mentions.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def t(conv: String, idx: Int, text: String) =
+    Turn(conv, idx, "user", text, None, new Timestamp(0L))
+
+  test("segmentation handles empty / whitespace / unicode text") {
+    import spark.implicits._
+    val turns = Seq(
+      t("c1", 0, ""), t("c1", 1, "   "), t("c1", 2, "\n\t"),
+      t("c2", 0, "héllo wörld. 中文 here."),
+      t("c3", 0, "no final punctuation")).toDS()
+    val sents = Segmentation.sentences(turns).collect()
+    assert(sents.forall(_.sent_text.nonEmpty))
+    assert(!sents.exists(_.conv_id == "c1"))
+    val toks = Segmentation.tokenized(turns).collect()
+    toks.foreach { s =>
+      s.tokens.foreach { tk =>
+        assert(s.sent_text.substring(tk.begin - s.sent_start, tk.end - s.sent_start) == tk.word)
+      }
+    }
+    assert(Segmentation.invariantViolations(turns).count() == 0)
+  }
+
+  test("pipeline yields no triples for mention-free conversations, no throw") {
+    import spark.implicits._
+    val turns = Seq(t("c1", 0, "nothing of note here."), t("c1", 5, ""),
+      t("c2", 3, "merge")).toDS() // sparse turn idx; only one class present
+    val out = KgPipeline.triples(turns,
+      KgPipeline.Config("r", GazetteerTagger.OpClass, GazetteerTagger.ObjClass,
+        window = 2, tokenizer = "tmvar"),
+      None, GazetteerTagger.gazetteer, None).collect()
+    assert(out.isEmpty)
+  }
+
+  test("turn window never crosses conversations and tolerates gaps") {
+    import spark.implicits._
+    // conv A turn 0 has op mention; conv B turn 1 has obj mention:
+    // a window join keyed only on turn_idx would pair them
+    val turns = Seq(t("A", 0, "merge now."), t("B", 1, "the stream."),
+      t("A", 7, "a vector.")).toDS()
+    val out = KgPipeline.triples(turns,
+      KgPipeline.Config("r", GazetteerTagger.OpClass, GazetteerTagger.ObjClass,
+        window = 1, tokenizer = "tmvar"),
+      None, GazetteerTagger.gazetteer, None).collect()
+    assert(out.isEmpty) // B is another conv; A's turns are 7 apart
+    val out2 = KgPipeline.triples(turns,
+      KgPipeline.Config("r", GazetteerTagger.OpClass, GazetteerTagger.ObjClass,
+        window = 7, tokenizer = "tmvar"),
+      None, GazetteerTagger.gazetteer, None).collect()
+    assert(out2.length == 1 && out2.head.conv_id == "A")
+  }
+
+  test("CRF tagging of empty sentences and unknown-only words") {
+    import spark.implicits._
+    val turns = Seq(t("c1", 0, "zzz qqq unknownwords."), t("c2", 0, "")).toDS()
+    val m = Crf.tag(Segmentation.tokenized(turns),
+      Crf.dictionaryModel(GazetteerTagger.gazetteer)).collect()
+    assert(m.isEmpty)
+  }
+
+  test("connected components on empty and self-loop-only graphs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Linking.connectedComponents(empty).count() == 0)
+    val selfOnly = Seq((5L, 5L)).toDF("src", "dst")
+    assert(Linking.connectedComponents(selfOnly).count() == 0)
+    // chain + isolated island merge correctly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val comp = Linking.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("dedup and similarity ops on singleton / empty inputs") {
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(Dedup.exact(one).count() == 1)
+    assert(Dedup.ngramJaccard(one, 3, 0.1).count() == 0)
+    assert(Dedup.minhashLsh(one).count() == 0)
+    assert(Dedup.simhashPairs(one).count() == 0)
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(none).count() == 0)
+    assert(TextAnalysis.quality(none).count() == 0)
+  }
+}
