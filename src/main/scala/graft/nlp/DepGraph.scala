@@ -134,6 +134,36 @@ object DepGraph {
     d
   }
 
+  private val negWords = Set("not", "no", "never", "n't", "nor", "neither", "cannot")
+
+  /** Sentence negation — `Part.is_sentence_negated` (`data.py:1106-1118`:
+    * odd number of `neg` dependencies). Our rule parser emits no labeled
+    * deps, so the deterministic equivalent counts negation tokens: the
+    * sentence is negated iff their count is odd.
+    */
+  def isNegated(toks: IndexedSeq[Tok]): Boolean =
+    toks.count(t => negWords.contains(t.word.toLowerCase)) % 2 == 1
+
+  /** First verbs reachable from the root — `Part.get_main_verbs`
+    * (`data.py:1087-1104`): BFS from the root, collect the first layer
+    * of verb tokens encountered.
+    */
+  def mainVerbs(toks: IndexedSeq[Tok], adj: Array[List[Int]], root: Int): Seq[Int] = {
+    if (toks.isEmpty) return Nil
+    if (coarsePos(toks(root).word) == "VERB") return Seq(root)
+    val seen = Array.fill(toks.length)(false)
+    seen(root) = true
+    var frontier = List(root)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj(_)).filterNot(seen).distinct.sorted
+      next.foreach(seen(_) = true)
+      val verbs = next.filter(i => coarsePos(toks(i).word) == "VERB")
+      if (verbs.nonEmpty) return verbs
+      frontier = next
+    }
+    Nil
+  }
+
   /** Head token of an entity span: the token with minimum depth, nouns
     * preferred, first wins — `Part.set_entities_head_tokens`
     * (`data.py:1162-1220`).

@@ -99,6 +99,14 @@ object RelationScoring {
     add("n_between", between.size.toDouble)
     between.foreach { i => add(s"bow_bet=${masked(i)}") }
 
+    // sentence negation + main-verb lemmas (`relations/new/sentence.py`
+    // counts/negation block; semantics via DepGraph.isNegated/mainVerbs)
+    if (graft.nlp.DepGraph.isNegated(toks)) add("sent_negated")
+    val rootIdx = depth.indices.find(depth(_) == 0).getOrElse(0)
+    graft.nlp.DepGraph.mainVerbs(toks, adj, rootIdx).foreach { v =>
+      add(s"main_verb=${Porter.stem(toks(v).word.toLowerCase)}")
+    }
+
     // --- LinearDistanceFeatureGenerator (`relations/context.py:5-43`) ---
     if (h1 >= 0 && h2 >= 0) {
       val d = math.abs(h1 - h2)

@@ -47,6 +47,16 @@ object TokenFeatures {
       else Map.empty
     }
 
+  /** Lemma via broadcast lexicon — `SpacyLemmatizer`/`BioLemmatizer`
+    * (`features/stemming.py:13-102`): external-process lemmatizers
+    * become a broadcast map lookup with stem fallback.
+    */
+  def lemma(sent: IndexedSeq[Tok], lexicon: Map[String, String]): IndexedSeq[FeatMap] =
+    sent.map { t =>
+      val w = t.word.toLowerCase
+      Map("lemma[0]" -> lexicon.getOrElse(w, Porter.stem(w)))
+    }
+
   /** `ConjunctionFeatureGenerator` (`features/conjunction.py:4-17`):
     * feature crossing f1|f2 = v1|v2.
     */

@@ -65,4 +65,21 @@ class DepGraphSpec extends AnyFunSuite {
     assert(DepGraph.entityHead(toks, depth, 12, 18) == 3) // "the db" → db? both nouns, min depth
     assert(DepGraph.entityHead(toks, depth, 0, 5) == 0)
   }
+
+  test("negation: odd count of negation tokens") {
+    def toks(ws: String*) = ws.zipWithIndex.map { case (w, i) => Tok(i, w, i * 10, i * 10 + w.length) }.toIndexedSeq
+    assert(DepGraph.isNegated(toks("this", "is", "not", "fine")))
+    assert(!DepGraph.isNegated(toks("this", "is", "fine")))
+    assert(!DepGraph.isNegated(toks("not", "never", "ok"))) // double negation
+  }
+
+  test("main verbs: first verb layer from root") {
+    val toks = IndexedSeq(Tok(0, "svc_a", 0, 5), Tok(1, "calls", 6, 11),
+      Tok(2, "db", 12, 14), Tok(3, ".", 14, 15))
+    val heads = DepGraph.heads(toks)
+    val adj = DepGraph.adjacency(toks.length, heads)
+    val root = heads.indices.find(i => heads(i) == i).get
+    assert(DepGraph.mainVerbs(toks, adj, root) == Seq(root))
+    assert(DepGraph.coarsePos(toks(root).word) == "VERB")
+  }
 }
