@@ -94,6 +94,19 @@ object TextOps {
     * Golden: `tests/preprocessing/test_tokenizers.py:74-78`.
     */
   def tmvarTokenize(sentence: String): Vector[String] = {
+    // fast path: on lowercase-letters+spaces text every cascade stage is
+    // the identity, so the result is a plain whitespace split (provably —
+    // each regex requires a digit, an uppercase letter, a non-ASCII char
+    // or a non-word char to fire). This is the common case for cleaned
+    // corpora and skips six regex passes per sentence.
+    var onlyPlain = true
+    var j = 0
+    while (onlyPlain && j < sentence.length) {
+      val c = sentence.charAt(j)
+      if (!((c >= 'a' && c <= 'z') || c == ' ')) onlyPlain = false
+      j += 1
+    }
+    if (onlyPlain) return splitOnSpaces(sentence)
     var s = sentence
     var i = 0
     while (i < tmvarCascade.length) {
@@ -102,6 +115,20 @@ object TextOps {
       i += 1
     }
     wsRe.split(s).iterator.filter(_.nonEmpty).toVector
+  }
+
+  private def splitOnSpaces(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var start = -1
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { out += s.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out += s.substring(start)
+    out.result()
   }
 
   /** Recover char offsets of tokens inside `text` by forward scan — the

@@ -100,4 +100,35 @@ class KgPipelineSpec extends SparkSpec {
     }
     assert(bad.count() == 0)
   }
+
+  test("scoreEdge == w . hashFeats(features) for every candidate (dual-path guard)") {
+    val cfg = KgPipeline.Config(RelType, SubjClass, ObjClass, window = 1, tokenizer = "generic")
+    val rng = new scala.util.Random(11)
+    val w = Array.fill(RelationScoring.Dims)(rng.nextDouble() - 0.5)
+    val model = RelationScoring.LinearModel(w, b = 0.123)
+    (0 until 10).foreach { c =>
+      val turns = (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+      val withFeats = KgPipeline.candidateEdges(f"conv_$c%06d", turns, cfg, dictTagger,
+        withFeatures = true)
+      val withScores = KgPipeline.candidateEdges(f"conv_$c%06d", turns, cfg, dictTagger,
+        withFeatures = false, scorer = Some(model))
+      assert(withFeats.length == withScores.length && withFeats.nonEmpty)
+      withFeats.zip(withScores).foreach { case (f, s) =>
+        val viaMap = model.score(RelationScoring.hashFeats(f.feats))
+        assert(math.abs(viaMap - s.score) < 1e-9, s"$viaMap vs ${s.score} for ${f.key}")
+      }
+    }
+  }
+
+  test("tmvar fast path == cascade on mixed content") {
+    val samples = Seq("plain lowercase words only", "Mixed Case c.2708_2711delTTAG",
+      "digits 123abc", "naive caf text", "a, b; c!", "")
+    samples.foreach { s =>
+      // force the general path by prepending a char that disables the
+      // fast path without changing the token stream after dropping it
+      val viaCascade = graft.nlp.TextOps.tmvarTokenize("X " + s).drop(1)
+      val direct = graft.nlp.TextOps.tmvarTokenize(s)
+      assert(viaCascade == direct, s)
+    }
+  }
 }
