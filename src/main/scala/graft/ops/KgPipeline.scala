@@ -66,11 +66,11 @@ object KgPipeline {
     // same way, utils/graph.py:29-46)
     final case class SentCtx(turnIdx: Int, sentIdx: Int, toks: IndexedSeq[Tok],
         mentions: Seq[Mention]) {
-      lazy val parse: (Array[List[Int]], Array[Int]) = {
+      lazy val prep: RelationScoring.SentencePrep = {
         val hs = DepGraph.heads(toks)
         val adj = DepGraph.adjacency(toks.length, hs)
         val root = hs.indices.find(i => hs(i) == i).getOrElse(0)
-        (adj, DepGraph.depths(adj, root))
+        new RelationScoring.SentencePrep(toks, adj, DepGraph.depths(adj, root))
       }
     }
     val ctxs: Vector[SentCtx] = sorted.iterator.flatMap { t =>
@@ -103,22 +103,31 @@ object KgPipeline {
           val sentDist =
             if (c1.turnIdx == c2.turnIdx) math.abs(c2.sentIdx - c1.sentIdx)
             else cfg.window + math.abs(c2.turnIdx - c1.turnIdx)
-          def ctx: (IndexedSeq[Tok], Mention, Mention, Array[List[Int]], Array[Int]) =
-            if (sameSent) {
-              val (adj, depth) = c1.parse
-              (c1.toks, m1, m2, adj, depth)
-            } else combined(c1.toks, c2.toks, sameSent, m1, m2)
+          // same-sentence pairs share the memoized per-sentence prep
+          // (POS/mask/stem/head/path caches amortize over the k² pairs);
+          // cross-context pairs build a combined prep per pair
+          def combinedCtx: (RelationScoring.SentencePrep, Mention, Mention) = {
+            val (toks, mm1, mm2, adj, depth) = combined(c1.toks, c2.toks, sameSent, m1, m2)
+            (new RelationScoring.SentencePrep(toks, adj, depth), mm1, mm2)
+          }
           val feats =
             if (!withFeatures) Map.empty[String, Double]
+            else if (sameSent)
+              RelationScoring.features(c1.toks, c1.prep.adj, c1.prep.depth,
+                m1, m2, sameSent, sentDist)
             else {
-              val (toks, mm1, mm2, adj, depth) = ctx
-              RelationScoring.features(toks, adj, depth, mm1, mm2, sameSent, sentDist)
+              val (p, mm1, mm2) = combinedCtx
+              RelationScoring.features(p.toks, p.adj, p.depth, mm1, mm2, sameSent, sentDist)
             }
           val score = scorer match {
             case None => 1.0
             case Some(lm) =>
-              val (toks, mm1, mm2, adj, depth) = ctx
-              RelationScoring.scoreEdge(lm, toks, adj, depth, mm1, mm2, sameSent, sentDist)
+              if (sameSent)
+                RelationScoring.scoreEdge(lm, c1.prep, m1, m2, sameSent, sentDist)
+              else {
+                val (p, mm1, mm2) = combinedCtx
+                RelationScoring.scoreEdge(lm, p, mm1, mm2, sameSent, sentDist)
+              }
           }
           out += Candidate(m1, m2, t1, sameSent, sentDist,
             tripleKey(cfg.relType, m1, m2), feats, score)

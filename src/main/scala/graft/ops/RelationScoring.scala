@@ -41,7 +41,7 @@ object RelationScoring {
       m1: Mention, m2: Mention,
       sameSentence: Boolean, sentDist: Int): Map[String, Double] = {
     val out = scala.collection.mutable.HashMap.empty[String, Double]
-    enumerate(toks, adj, depth, m1, m2, sameSentence, sentDist) { (f, v) =>
+    enumerate(new SentencePrep(toks, adj, depth), m1, m2, sameSentence, sentDist) { (f, v) =>
       out.update(f, out.getOrElse(f, 0.0) + v)
     }
     out.toMap
@@ -55,12 +55,49 @@ object RelationScoring {
   def scoreEdge(model: LinearModel,
       toks: IndexedSeq[Tok], adj: Array[List[Int]], depth: Array[Int],
       m1: Mention, m2: Mention,
+      sameSentence: Boolean, sentDist: Int): Double =
+    scoreEdge(model, new SentencePrep(toks, adj, depth), m1, m2, sameSentence, sentDist)
+
+  def scoreEdge(model: LinearModel, prep: SentencePrep,
+      m1: Mention, m2: Mention,
       sameSentence: Boolean, sentDist: Int): Double = {
     var s = model.b
-    enumerate(toks, adj, depth, m1, m2, sameSentence, sentDist) { (f, v) =>
+    enumerate(prep, m1, m2, sameSentence, sentDist) { (f, v) =>
       s += model.w(h(f)) * v
     }
     s
+  }
+
+  /** Per-sentence memoized tables shared across all candidate pairs of
+    * the sentence — the relational analogue of the reference's
+    * per-sentence graph cache (`utils/graph.py:29-46`). With dense
+    * mentions (k per class) a sentence yields O(k²) pairs; without this
+    * cache POS/stem/mask/head work is recomputed per pair.
+    */
+  final class SentencePrep(val toks: IndexedSeq[Tok], val adj: Array[List[Int]],
+                           val depth: Array[Int]) {
+    lazy val pos: Array[String] =
+      Array.tabulate(toks.length)(i => DepGraph.coarsePos(toks(i).word))
+    lazy val maskedBase: Array[String] =
+      Array.tabulate(toks.length)(i => TextOps.maskedWord(toks(i).word, None))
+    private val stemCache = new Array[String](toks.length)
+    def stem(i: Int): String = {
+      if (stemCache(i) == null) stemCache(i) = Porter.stem(toks(i).word)
+      stemCache(i)
+    }
+    lazy val negated: Boolean = DepGraph.isNegated(toks)
+    lazy val mainVerbStems: List[String] = {
+      val rootIdx = depth.indices.find(depth(_) == 0).getOrElse(0)
+      DepGraph.mainVerbs(toks, adj, rootIdx)
+        .map(v => Porter.stem(toks(v).word.toLowerCase)).toList
+    }
+    private val headCache = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    def head(begin: Int, end: Int): Int =
+      headCache.getOrElseUpdate((begin, end),
+        DepGraph.entityHead(toks, depth, begin, end))
+    private val pathCache = scala.collection.mutable.HashMap.empty[(Int, Int), Vector[Int]]
+    def path(a: Int, b: Int): Vector[Int] =
+      pathCache.getOrElseUpdate((a, b), DepGraph.shortestPath(adj, a, b))
   }
 
   /** Single source of truth for the edge feature set; both the training
@@ -68,25 +105,21 @@ object RelationScoring {
     * indices agree by construction.
     */
   private def enumerate(
-      toks: IndexedSeq[Tok],
-      adj: Array[List[Int]],
-      depth: Array[Int],
+      prep: SentencePrep,
       m1: Mention, m2: Mention,
       sameSentence: Boolean, sentDist: Int)(add0: (String, Double) => Unit): Unit = {
 
+    val toks = prep.toks
     def add(f: String, v: Double = 1.0): Unit = add0(f, v)
 
-    def spanTokens(m: Mention): IndexedSeq[Int] =
-      toks.indices.filter(i => toks(i).begin >= m.begin && toks(i).end <= m.end)
-
-    val h1 = DepGraph.entityHead(toks, depth, m1.begin, m1.end)
-    val h2 = DepGraph.entityHead(toks, depth, m2.begin, m2.end)
+    val h1 = prep.head(m1.begin, m1.end)
+    val h2 = prep.head(m2.begin, m2.end)
 
     def masked(i: Int): String = {
       val t = toks(i)
       if (t.begin >= m1.begin && t.end <= m1.end) m1.class_id
       else if (t.begin >= m2.begin && t.end <= m2.end) m2.class_id
-      else TextOps.maskedWord(t.word, None)
+      else prep.maskedBase(i)
     }
 
     // --- SentenceFeatureGenerator subset (`relations/new/sentence.py`) ---
@@ -101,11 +134,8 @@ object RelationScoring {
 
     // sentence negation + main-verb lemmas (`relations/new/sentence.py`
     // counts/negation block; semantics via DepGraph.isNegated/mainVerbs)
-    if (graft.nlp.DepGraph.isNegated(toks)) add("sent_negated")
-    val rootIdx = depth.indices.find(depth(_) == 0).getOrElse(0)
-    graft.nlp.DepGraph.mainVerbs(toks, adj, rootIdx).foreach { v =>
-      add(s"main_verb=${Porter.stem(toks(v).word.toLowerCase)}")
-    }
+    if (prep.negated) add("sent_negated")
+    prep.mainVerbStems.foreach { v => add(s"main_verb=$v") }
 
     // --- LinearDistanceFeatureGenerator (`relations/context.py:5-43`) ---
     if (h1 >= 0 && h2 >= 0) {
@@ -116,24 +146,24 @@ object RelationScoring {
 
     // --- Entity-head surface (`relations/entityhead.py`) ----------------
     if (h1 >= 0) {
-      add(s"h1_stem=${Porter.stem(toks(h1).word)}")
-      add(s"h1_pos=${DepGraph.coarsePos(toks(h1).word)}")
+      add(s"h1_stem=${prep.stem(h1)}")
+      add(s"h1_pos=${prep.pos(h1)}")
     }
     if (h2 >= 0) {
-      add(s"h2_stem=${Porter.stem(toks(h2).word)}")
-      add(s"h2_pos=${DepGraph.coarsePos(toks(h2).word)}")
+      add(s"h2_stem=${prep.stem(h2)}")
+      add(s"h2_pos=${prep.pos(h2)}")
     }
 
     // --- PD dependency-path features (`relations/new/dependency.py`) ----
     if (h1 >= 0 && h2 >= 0) {
-      val path = DepGraph.shortestPath(adj, h1, h2)
+      val path = prep.path(h1, h2)
       if (path.nonEmpty) {
         add("pd_len", path.length.toDouble)
         val inner = path.drop(1).dropRight(1)
         inner.foreach { i =>
           add(s"pd_tok=${masked(i)}")
-          add(s"pd_pos=${DepGraph.coarsePos(toks(i).word)}")
-          if (DepGraph.coarsePos(toks(i).word) == "VERB")
+          add(s"pd_pos=${prep.pos(i)}")
+          if (prep.pos(i) == "VERB")
             add(s"pd_verb=${Porter.stem(toks(i).word.toLowerCase)}")
         }
         // path n-grams n=1..3 of masked lemmas (`dependency.py:163-221`)
