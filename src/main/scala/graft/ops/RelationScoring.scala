@@ -76,10 +76,19 @@ object RelationScoring {
     */
   final class SentencePrep(val toks: IndexedSeq[Tok], val adj: Array[List[Int]],
                            val depth: Array[Int]) {
-    lazy val pos: Array[String] =
-      Array.tabulate(toks.length)(i => DepGraph.coarsePos(toks(i).word))
-    lazy val maskedBase: Array[String] =
-      Array.tabulate(toks.length)(i => TextOps.maskedWord(toks(i).word, None))
+    // per-index caches (not eager arrays): a pair typically touches only
+    // its path/between tokens, so cross-context preps stay cheap while
+    // dense same-sentence preps still amortize fully
+    private val posCache = new Array[String](toks.length)
+    def pos(i: Int): String = {
+      if (posCache(i) == null) posCache(i) = DepGraph.coarsePos(toks(i).word)
+      posCache(i)
+    }
+    private val maskCache = new Array[String](toks.length)
+    def maskedBase(i: Int): String = {
+      if (maskCache(i) == null) maskCache(i) = TextOps.maskedWord(toks(i).word, None)
+      maskCache(i)
+    }
     private val stemCache = new Array[String](toks.length)
     def stem(i: Int): String = {
       if (stemCache(i) == null) stemCache(i) = Porter.stem(toks(i).word)
