@@ -85,11 +85,15 @@ object Linking {
     var comp = sym.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
       .localCheckpoint()
-    // Σcomp decreases strictly every round until fixpoint — a single
-    // cheap aggregate doubles as the convergence test (no extra join).
+    // Σcomp decreases strictly every round until fixpoint (labels are
+    // per-node monotone non-increasing) — a single cheap aggregate
+    // doubles as the convergence test (no extra join). decimal(38,0):
+    // node ids span the full 64-bit hash range, a long sum overflows
+    // under ANSI; decimal keeps the sum exact up to ~1e19 nodes.
     // coalesce: sum over an empty/self-loop-only graph is NULL.
-    def sigmaOf(df: DataFrame): Long =
-      df.agg(coalesce(sum($"comp"), lit(0L))).first().getLong(0)
+    def sigmaOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
     var sigma = sigmaOf(comp)
     var iter = 0
     var converged = false
@@ -110,7 +114,7 @@ object Linking {
         .localCheckpoint()
       val newSigma = sigmaOf(jumped)
       comp = jumped
-      converged = newSigma == sigma
+      converged = newSigma.compareTo(sigma) == 0
       sigma = newSigma
       iter += 1
     }

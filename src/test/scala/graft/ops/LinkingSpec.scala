@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Mention
+
+class LinkingSpec extends SparkSpec {
+
+  private def mentions = {
+    import spark.implicits._
+    // surface forms: "db users", "db_users", "users db" as aliases of one
+    // node via extra pairs; "cache" standalone
+    val rows = Seq(
+      ("c1", 0, "db users"), ("c1", 1, "db_users"), ("c2", 0, "db users"),
+      ("c2", 1, "users db"), ("c3", 0, "cache"))
+    rows.zipWithIndex.map { case ((c, t, s), i) =>
+      Mention(c, t, 0, "e_res", i * 10, i * 10 + s.length, s, 1.0,
+        graft.nlp.TextOps.normKey(s))
+    }.toDS()
+  }
+
+  test("nodeStatsExact matches plain groupBy despite salting") {
+    import spark.implicits._
+    val got = Linking.nodeStatsExact(mentions, salts = 4)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("e_res", "db users", 2L, 2L),
+      ("e_res", "db_users", 1L, 1L),
+      ("e_res", "users db", 1L, 1L),
+      ("e_res", "cache", 1L, 1L)))
+  }
+
+  test("approximate nodeStats: exact mention sums, HLL conv counts in tolerance") {
+    import spark.implicits._
+    val approx = Linking.nodeStats(mentions).as[(String, String, Long, Long)]
+      .collect().map(r => r._2 -> (r._3, r._4)).toMap
+    assert(approx("db users")._1 == 2L) // mention counts are exact sums
+    assert(math.abs(approx("db users")._2 - 2L) <= 1) // HLL rsd 0.01
+    assert(approx("cache")._1 == 1L)
+  }
+
+  test("nodes with extra alias pairs collapse via connected components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keyed = mentions.toDF()
+      .select(col("class_id"), col("norm"), xxhash64(col("class_id"), col("norm")).as("kid"))
+      .distinct().as[(String, String, Long)].collect()
+      .map { case (_, n, k) => n -> k }.toMap
+    // alias graph: "db users" ~ "db_users" ~ "users db" (transitive chain)
+    val pairs = Seq(
+      (keyed("db users"), keyed("db_users")),
+      (keyed("db_users"), keyed("users db"))).toDF("src", "dst")
+    val nodes = Linking.nodes(mentions, Some(pairs))
+      .as[(Long, String, String, Long, Long)].collect()
+    val byCanon = nodes.map(n => n._2 -> n._1).toMap
+    // the three aliases share one node id; cache stands alone
+    assert(byCanon("db users") == byCanon("db_users"))
+    assert(byCanon("db_users") == byCanon("users db"))
+    assert(byCanon("cache") != byCanon("db users"))
+    assert(byCanon("db users") ==
+      Seq(keyed("db users"), keyed("db_users"), keyed("users db")).min)
+    // stats preserved per surface
+    assert(nodes.find(_._2 == "db users").get._4 == 2L)
+  }
+}
