@@ -131,4 +131,34 @@ class KgPipelineSpec extends SparkSpec {
       assert(viaCascade == direct, s)
     }
   }
+
+  test("fused pipeline with broadcast TRAINED CRF tagger == dictionary route") {
+    import spark.implicits._
+    val cfg = KgPipeline.Config(RelType, SubjClass, ObjClass, window = 1, tokenizer = "generic")
+    // train the CRF on gold BIO labels over synthetic convs 0..39
+    val train = (0 until 40).flatMap { c =>
+      (0 until 5).flatMap { t =>
+        val turn = Transcripts.syntheticTurn(c, t, 42L)
+        graft.nlp.TextOps.segment(turn.text, "generic").map { case (_, _, _, toks) =>
+          val feats = Crf.tokenFeatures(toks).map(fs => "__bias__" :: fs)
+          val labels: Seq[String] = toks.map { tk =>
+            subjDict.get(tk.word).map("B-" + _)
+              .orElse(objDict.get(tk.word).map("B-" + _)).getOrElse("O")
+          }
+          (feats, labels)
+        }
+      }
+    }
+    val crf = Crf.train(train, epochs = 5)
+    // held-out conversations 300..329: CRF-tagged triples == dict-tagged
+    val turns = (300 until 330).flatMap { c =>
+      (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+    }.toDS()
+    val viaCrf = KgPipeline.triples(turns, cfg, Some(crf), Map.empty, None)
+      .select("conv_id", "key").as[(String, String)].collect().toSet
+    val viaDict = KgPipeline.triples(turns, cfg, None, dict, None)
+      .select("conv_id", "key").as[(String, String)].collect().toSet
+    assert(viaCrf == viaDict)
+    assert(viaCrf.nonEmpty)
+  }
 }
