@@ -64,6 +64,32 @@ object Linking {
         sum($"n_convs_p").cast("long").as("n_convs"))
   }
 
+  /** Abbreviation/synonym candidate pairs from the `y (x)` pattern —
+    * `relations/new/sentence.py:194-216`: a surface form immediately
+    * followed by a parenthesized alternative names the same entity.
+    * Emits (src, dst) node-key hashes per class, ready for
+    * [[connectedComponents]] / [[nodes]] extraPairs.
+    */
+  def synonymPairs(sentences: DataFrame, classId: String): DataFrame = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val re = java.util.regex.Pattern.compile(
+      "([\\p{L}\\p{N}_]+)\\s*\\(\\s*([\\p{L}\\p{N}_]+)\\s*\\)")
+    sentences.select(col("sent_text")).as[String].flatMap { s =>
+      val m = re.matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      while (m.find()) {
+        out += ((graft.nlp.TextOps.normKey(m.group(1)),
+          graft.nlp.TextOps.normKey(m.group(2))))
+      }
+      out
+    }.toDF("long_form", "short_form")
+      .distinct()
+      .select(
+        xxhash64(lit(classId), col("long_form")).as("src"),
+        xxhash64(lit(classId), col("short_form")).as("dst"))
+  }
+
   /** Connected components over an undirected edge list (src, dst) of Long
     * node ids: iterative min-label propagation with DataFrame joins only.
     * Each round every node adopts the minimum component id among itself

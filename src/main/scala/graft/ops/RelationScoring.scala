@@ -154,14 +154,27 @@ object RelationScoring {
     }
 
     // --- Entity-head surface (`relations/entityhead.py`) ----------------
-    if (h1 >= 0) {
-      add(s"h1_stem=${prep.stem(h1)}")
-      add(s"h1_pos=${prep.pos(h1)}")
+    // stem/POS + case/digit/punct flags and char 2/3-grams
+    // (`entityhead.py:96-187`)
+    def headSurface(prefix: String, hi: Int): Unit = if (hi >= 0) {
+      val w = toks(hi).word
+      add(s"${prefix}_stem=${prep.stem(hi)}")
+      add(s"${prefix}_pos=${prep.pos(hi)}")
+      if (w.nonEmpty && w.head.isUpper) add(s"${prefix}_cap")
+      if (w.exists(_.isDigit)) add(s"${prefix}_digits")
+      if (w.contains('-') || w.contains('/')) add(s"${prefix}_punct")
+      var n = 2
+      while (n <= 3) {
+        var i = 0
+        while (i + n <= w.length) {
+          add(s"${prefix}_${n}g=${w.substring(i, i + n)}")
+          i += 1
+        }
+        n += 1
+      }
     }
-    if (h2 >= 0) {
-      add(s"h2_stem=${prep.stem(h2)}")
-      add(s"h2_pos=${prep.pos(h2)}")
-    }
+    headSurface("h1", h1)
+    headSurface("h2", h2)
 
     // --- PD dependency-path features (`relations/new/dependency.py`) ----
     if (h1 >= 0 && h2 >= 0) {

@@ -61,4 +61,27 @@ class LinkingSpec extends SparkSpec {
     // stats preserved per surface
     assert(nodes.find(_._2 == "db users").get._4 == 2L)
   }
+
+  test("synonymPairs: y (x) abbreviation heuristic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sents = Seq(
+      "the auth service (svc_auth) failed",
+      "retry with Backoff2 ( b2 ) now",
+      "no pattern here").toDF("sent_text")
+    val pairs = Linking.synonymPairs(sents, "e_res")
+    assert(pairs.count() == 2)
+    // pair hashes correspond to the norm keys of the two surfaces
+    val expected = Set(
+      (xx("e_res", "service"), xx("e_res", "svc_auth")),
+      (xx("e_res", "backoff0"), xx("e_res", "b0")))
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got == expected, got)
+  }
+
+  private def xx(parts: String*): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(1).toDF("x").select(xxhash64(parts.map(lit): _*)).head().getLong(0)
+  }
 }
