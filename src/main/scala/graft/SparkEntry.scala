@@ -110,6 +110,9 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nBits = 6, tables = 8)
     }),
+    "dd_embed" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4)),
     "txt_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "txt_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "txt_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -457,6 +460,15 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "dd_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
 
     "txt_quality" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)

@@ -51,6 +51,20 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs. Exact all-pairs variant
+    * (broadcast NLJ on the smaller side) for modest corpora and oracle
+    * checks; at scale, generate candidates with [[lshTopK]]'s bucket
+    * machinery first and re-rank — same cosine column.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim): splitmix64 of the packed coordinates mapped to ±1.
     */
