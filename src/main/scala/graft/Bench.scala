@@ -44,17 +44,30 @@ object Bench {
     val tPipe = math.min(tPipe0, tPipe1)
     val turnsPerSec = nTurns / tPipe
 
+    // a crashing query reports null timing + an errors entry (never a
+    // misleadingly fast exception-path timing), and is excluded from total
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once = time {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      }._2
-      val t = math.min(once, once)
+      def once: Option[Double] =
+        try Some(time(fn(spark, sfDir).count())._2)
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.takeWhile(_ != '\n').take(200))
+          None
+        }
+      val t = (once, once) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case _ => None
+      }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"triples":$nTriples,"pipeline_sec":$tPipe,"turns_per_sec":$turnsPerSec}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"triples":$nTriples,"pipeline_sec":$tPipe,"turns_per_sec":$turnsPerSec}""")
+    SparkEntry.clearCaches()
     spark.stop()
   }
 }

@@ -50,6 +50,15 @@ object SparkEntry {
       df
     })
 
+  /** Evict the per-(session, dir) grouped-mentions cache. Long-lived
+    * sessions (notebooks, streaming drivers) call this between corpora to
+    * release executor storage; Verify and Bench call it on shutdown.
+    */
+  def clearCaches(): Unit = {
+    groupedCache.values.foreach(_.unpersist(false))
+    groupedCache.clear()
+  }
+
   private def kgEdges(spark: SparkSession, dir: String): DataFrame =
     EdgeGen.turnWindow(groupedOf(spark, dir), OpClass, ObjClass, Rel, window = 1)
 
@@ -99,7 +108,12 @@ object SparkEntry {
     // ---- training-data pipeline operators ----------------------------
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dd_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), n = 5, threshold = 0.1)),
-    "dd_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), threshold = 0.5)),
+    // bands=32 (rows=2): per-band collision j², miss over 32 bands
+    // (1-j²)³² — at the corpus's lowest qualifying Jaccard (0.8 at sf0.1)
+    // that is ~6e-15, so the banded-LSH output equals the exact-Jaccard
+    // set and the DuckDB all-pairs oracle below checks it bit-for-bit.
+    "dd_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir),
+      shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -207,6 +221,11 @@ object SparkEntry {
     * words (verified; the Scala tokenizer's regex cascade is the general
     * path, golden-tested in ScalaTest).
     */
+  /** Blank-text contract: the Scala splitter emits no sentence (hence no
+    * token) for empty/whitespace-only turn text, so the oracle CTEs filter
+    * those rows explicitly — the contract is symmetric by construction,
+    * not by the testdata happening to contain no blanks.
+    */
   private val W =
     s"""transcripts AS ($T),
        |words AS (
@@ -214,6 +233,7 @@ object SparkEntry {
        |         unnest(string_split(text, ' ')) AS word,
        |         generate_subscripts(string_split(text, ' '), 1) AS pos
        |  FROM transcripts
+       |  WHERE length(trim(text)) > 0
        |)""".stripMargin
 
   private val gazCase =
@@ -251,7 +271,8 @@ object SparkEntry {
       s"""WITH transcripts AS ($T)
          |SELECT conv_id, turn_idx, CAST(0 AS INT) AS sent_idx,
          |       text AS sent_text, CAST(0 AS INT) AS sent_start
-         |FROM transcripts""".stripMargin,
+         |FROM transcripts
+         |WHERE length(trim(text)) > 0""".stripMargin,
 
     "kg_tokens" ->
       s"""WITH $W
@@ -441,6 +462,55 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1""".stripMargin,
 
+    // dd_minhash emits banded-LSH candidate pairs verified by TRUE shingle
+    // Jaccard; with bands=32/rows=2 the candidate set provably (p_miss ~
+    // 6e-15 at the corpus's minimum qualifying Jaccard) covers every pair
+    // >= 0.5, so the output equals this exact all-pairs 3-gram Jaccard.
+    // fnv1a64 hash-set sizes equal string-set sizes absent 64-bit
+    // collisions, so the jaccard doubles are the same IEEE divisions.
+    "dd_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b,
+        |       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
+
+    // graft.nlp.Hashes.simhash re-stated in SQL: fnv1a64 per word via
+    // HUGEINT mod-2^64 list_reduce (exact on the ASCII corpus where
+    // unicode(c) == the UTF-8 byte), then per-bit +/-1 majority vote.
+    "dd_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |hw AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |       [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(word, '')]),
+        |     (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+        |                * 1099511628211) % 18446744073709551616
+        |  ) AS UBIGINT) AS wh
+        |  FROM w),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM hw, UNNEST(generate_series(0, 63)) AS t(b) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |         sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+        |             ELSE 0 END) AS s
+        |       FROM bits GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+        |       ELSE s END AS BIGINT) AS simhash
+        |FROM sh""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -489,6 +559,49 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
         |FROM t""".stripMargin,
+
+    // graft.nlp.Hashes.fingerprint re-stated in SQL: base-257 rolling
+    // polynomial mod the Mersenne prime 2^61-1 via HUGEINT list_reduce
+    // (exact on the ASCII corpus where unicode(c) == the UTF-8 byte).
+    "txt_fingerprint" ->
+      """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(text, '')]),
+        |    (h, b) -> ((h * 257 + b) % 2305843009213693951)) AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    // graft.nlp.LangId.detect re-stated in SQL: stopword voting over the
+    // four built-in profiles with the deterministic (-score, lang)
+    // tie-break (de < en < es < fr). The CJK branch never fires on the
+    // ASCII corpus (asserted by the charset check in the generator).
+    "txt_langid" -> {
+      def inList(ws: Seq[String]) = ws.sorted.map(w => s"'$w'").mkString(", ")
+      val de = inList(Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+        "eine", "mit", "von", "für", "auf", "sich", "dass", "ich", "zu"))
+      val en = inList(Seq("the", "and", "of", "to", "in", "is", "that", "it",
+        "was", "for", "with", "his", "this", "not", "are", "you"))
+      val es = inList(Seq("el", "la", "los", "las", "que", "de", "en", "un",
+        "una", "es", "por", "con", "para", "no", "se", "su"))
+      val fr = inList(Seq("le", "la", "les", "et", "est", "une", "des",
+        "dans", "que", "pour", "pas", "vous", "avec", "sur", "ce", "je"))
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'),
+         |                       x -> x <> '')) AS word
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |        sum(CASE WHEN word IN ($de) THEN 1 ELSE 0 END) AS de,
+         |        sum(CASE WHEN word IN ($en) THEN 1 ELSE 0 END) AS en,
+         |        sum(CASE WHEN word IN ($es) THEN 1 ELSE 0 END) AS es,
+         |        sum(CASE WHEN word IN ($fr) THEN 1 ELSE 0 END) AS fr
+         |      FROM w GROUP BY 1)
+         |SELECT d.doc_id, CASE
+         |  WHEN s.doc_id IS NULL OR greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |  WHEN en >= es AND en >= fr THEN 'en'
+         |  WHEN es >= fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+    },
 
     "mm_decode" ->
       """SELECT doc_id,

@@ -29,13 +29,27 @@ object Dedup {
     * explode shingles → self-join on shingle (candidate pairs share ≥1
     * shingle) → exact Jaccard on intersection counts. `n` large enough
     * that shingle buckets are selective (5-grams here).
+    *
+    * Skew guard: a shingle appearing in f documents contributes f(f-1)/2
+    * candidate pairs to the self-join — one hot boilerplate shingle is a
+    * cartesian bomb on a skewed corpus. Shingles with document frequency
+    * above `maxShingleDf` are dropped as stop-shingles BEFORE both the
+    * join and the size counts, so Jaccard is consistently computed over
+    * the rare-shingle sets (identical results on corpora where no shingle
+    * exceeds the cap — the driver testdata maxes at df=4; explosion bound
+    * tested in CurationSpec).
+    *
+    * The operator materializes its result (localCheckpoint) so the
+    * persisted shingle index can be released before returning — the
+    * inverted index is corpus-sized, the pairs output is not.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+                   maxShingleDf: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // split once into a column — split() inside the transform lambda
     // would re-tokenize per window
-    val shingled = docs
+    val exploded = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(array_distinct(transform(
@@ -43,6 +57,13 @@ object Dedup {
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
         ))).as("shingle"))
       .distinct()
+    // stop-shingle filter: df computed with a window over the shingle
+    // partition (same shuffle key the self-join needs anyway)
+    val shingled = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+      .select("doc_id", "shingle")
       // both the inverted-index self-join sides and the size lookup read
       // this — persist to shingle once (the checkpointable intermediate
       // at scale)
@@ -52,13 +73,16 @@ object Dedup {
     val b = shingled.select(col("doc_id").as("b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("sa")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("sb")), Seq("b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+      .localCheckpoint(true)
+    shingled.unpersist(false)
+    pairs
   }
 
   /** MinHash + banded LSH near-dup candidates, verified by true shingle

@@ -20,13 +20,17 @@ object Multimodal {
   object StubCodec {
     /** STUB: a real implementation would decode image bytes; this derives
       * deterministic pseudo-metadata from the payload so the pipeline is
-      * testable end-to-end (and DuckDB-oracle-able).
+      * testable end-to-end (and DuckDB-oracle-able). Arithmetic is done in
+      * Long to match the oracle's BIGINT semantics on payloads past 2^31/31
+      * bytes; the oracle derives sizes from length(text) (characters),
+      * equal to the UTF-8 byte count only on ASCII corpora — the testdata
+      * generator guarantees that (charset asserted).
       */
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
-      val n = bytes.length
-      val w = 64 + (n % 577)
-      val h = 64 + ((n * 31) % 433)
-      val frames = 1 + (n % 7)
+      val n = bytes.length.toLong
+      val w = (64 + (n % 577)).toInt
+      val h = (64 + ((n * 31L) % 433)).toInt
+      val frames = (1 + (n % 7)).toInt
       (w, h, frames)
     }
 

@@ -59,62 +59,123 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs. Exact all-pairs variant
-    * (broadcast NLJ on the smaller side) for modest corpora and oracle
-    * checks; at scale, generate candidates with [[lshTopK]]'s bucket
-    * machinery first and re-rank — same cosine column.
+  /** HALF_UP 6-decimal rounding — matches round() in both Spark SQL and
+    * DuckDB so re-ranked similarities hash-compare bit-for-bit.
     */
-  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    // Exact all-pairs in tight primitive loops: the smaller side is
-    // broadcast (id-sorted), each partition streams its rows against all
-    // higher ids. A column-expression pair join pays ~12µs/pair in
-    // higher-order-function overhead for a 64-dim dot that costs ~100ns
-    // here (measured 56s → <1s at 2k vectors). Arithmetic is the same
-    // left-to-right double accumulation as the SQL oracle formula.
-    // Production path at web scale: LSH-bucket candidates (lshTopK
-    // machinery) + this exact re-rank on the survivors.
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var k = 0
+    val n = math.min(a.length, b.length)
+    while (k < n) { d += a(k).toDouble * b(k).toDouble; k += 1 }
+    d
+  }
+
+  /** Embedding-cosine near-duplicate pairs — EXACT, fully distributed
+    * blocked all-pairs (block-pair cogroup / "triangle join"):
+    *
+    *   - every vector is hash-assigned one of `blocks` block ids and
+    *     replicated to the `blocks` block-PAIR groups it participates in,
+    *   - one task per unordered block pair (i ≤ j) — B(B+1)/2 tasks —
+    *     runs the tight-loop cosine over its two block slices only.
+    *
+    * No `collect()` and no broadcast of the corpus: driver memory is
+    * O(1), each task holds 2·n/B rows, compute parallelism is B(B+1)/2.
+    * The O(n²) arithmetic is inherent to an EXACT threshold-0.4 scan over
+    * gap-free embeddings (measured on this corpus: pair similarity is
+    * continuous through the threshold, so any sub-quadratic candidate
+    * scheme loses recall); at web scale you either accept the quadratic
+    * work spread over the cluster (this operator) or require a
+    * near-dup-gapped threshold and use [[embeddingNearDupPairsLsh]].
+    * Arithmetic is the same left-to-right double accumulation as the SQL
+    * oracle formula; HALF_UP rounding matches DuckDB's round().
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            blocks: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // B(B+1)/2 tasks ≈ 2× parallelism keeps all cores busy with AQE off
+    val b =
+      if (blocks > 0) blocks
+      else math.max(2, math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
     val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val table = vecs.collect().sortBy(_._1)
-    val norms = table.map { case (_, e) =>
-      var s = 0.0; var i = 0
-      while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
-      math.sqrt(s)
+    // replicate each row to every block pair containing its block;
+    // group key = i * B + j for i <= j
+    val replicated = vecs.flatMap { case (id, e) =>
+      val blk = (((Hashes_mix64(id) % b) + b) % b).toInt
+      (0 until b).iterator.map { other =>
+        val i = math.min(blk, other); val j = math.max(blk, other)
+        (i * b + j, blk, id, e)
+      }
     }
-    val bcTable = spark.sparkContext.broadcast(table)
-    val bcNorms = spark.sparkContext.broadcast(norms)
-    vecs.mapPartitions { it =>
-      val tab = bcTable.value
-      val nrm = bcNorms.value
-      it.flatMap { case (id, e) =>
-        var na = 0.0
-        var i = 0
-        while (i < e.length) { na += e(i).toDouble * e(i).toDouble; i += 1 }
-        na = math.sqrt(na)
-        // first index with vec_id > id (table sorted by id)
-        var lo = 0; var hi = tab.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (tab(mid)._1 <= id) lo = mid + 1 else hi = mid
+    replicated.groupByKey(_._1).flatMapGroups { (pairKey, it) =>
+      val i = pairKey / b; val j = pairKey % b
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      it.foreach { case (_, blk, id, e) =>
+        val nrm = math.sqrt(dotD(e, e))
+        if (blk == i) left += ((id, e, nrm))
+        // i == j: the group arrives once per row; pair within `left` only
+        else right += ((id, e, nrm))
+      }
+      def sims(as: scala.collection.IndexedSeq[(Long, Array[Float], Double)],
+               bs: scala.collection.IndexedSeq[(Long, Array[Float], Double)],
+               triangular: Boolean): Iterator[(Long, Long, Double)] =
+        as.indices.iterator.flatMap { x =>
+          val (ida, ea, na) = as(x)
+          val startJ = if (triangular) x + 1 else 0
+          (startJ until bs.length).iterator.flatMap { y =>
+            val (idb, eb, nb) = bs(y)
+            val sim = dotD(ea, eb) / (na * nb)
+            if (sim >= threshold) {
+              val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+              Some((lo, hi, round6(sim)))
+            } else None
+          }
         }
-        (lo until tab.length).iterator.flatMap { j =>
-          val (bid, be) = tab(j)
-          var d = 0.0
-          var k = 0
-          val n = math.min(e.length, be.length)
-          while (k < n) { d += e(k).toDouble * be(k).toDouble; k += 1 }
-          val sim = d / (na * nrm(j))
-          if (sim >= threshold)
-            // HALF_UP to match round() in both Spark and DuckDB
-            Some((id, bid, new java.math.BigDecimal(sim)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
-          else None
-        }
+      if (i == j) sims(left, left, triangular = true)
+      else sims(left, right, triangular = false)
+    }.toDF("a", "b", "sim")
+  }
+
+  /** Sub-quadratic near-dup pairs for corpora with a similarity GAP at the
+    * threshold (true near-dups ≫ threshold ≫ background): candidates from
+    * the same random-hyperplane bucket machinery as [[lshTopK]]
+    * (equi-join on (table, signature)), then EXACT tight-loop cosine
+    * re-rank of the survivors — identical arithmetic/rounding to
+    * [[embeddingNearDupPairs]], so output rows are a subset of the exact
+    * pairs with recall governed by (nBits, tables). Tested recall 1.0 on
+    * planted near-dups (CurationSpec); use the exact operator when the
+    * threshold sits in the continuous part of the sim distribution.
+    */
+  def embeddingNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                               nBits: Int = 8, tables: Int = 16,
+                               seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = bucketize(corpus, "a", nBits, tables, seed)
+    val cb2 = cb.select(col("a").as("b"), col("bucket"))
+    val cand = cb.join(cb2, Seq("bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val emb = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    val withVecs = cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    withVecs.mapPartitions { it =>
+      it.flatMap { case (a, b, ea, eb) =>
+        val sim = dotD(ea, eb) / (math.sqrt(dotD(ea, ea)) * math.sqrt(dotD(eb, eb)))
+        if (sim >= threshold) Some((a, b, round6(sim))) else None
       }
     }.toDF("a", "b", "sim")
   }
+
+  // avoid an accidental name clash with sql.functions under wildcard import
+  private def Hashes_mix64(x: Long): Long = graft.nlp.Hashes.mix64(x)
 
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim): splitmix64 of the packed coordinates mapped to ±1.
@@ -129,34 +190,44 @@ object Similarity {
     * Recall vs brute force is tested; raising L/nBits trades shuffle
     * volume for recall.
     */
+  /** (id, bucket) rows per LSH table: bucket packs (table, signature).
+    * Shared by [[lshTopK]] and [[embeddingNearDupPairsLsh]] so their
+    * candidate semantics agree. Hyperplanes derive deterministically from
+    * the seed — no fit/state to broadcast beyond the tiny plane tensor.
+    */
+  private def bucketize(df: DataFrame, outIdCol: String,
+                        nBits: Int, tables: Int, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = df.select(size(col("embedding"))).first().getInt(0)
+    // plane(table)(bit)(dim)
+    val planes = Array.tabulate(tables, nBits, dims)((t, b, d) => hyper(seed, t, b, d))
+    val bc = spark.sparkContext.broadcast(planes)
+    df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val ps = bc.value
+        (0 until ps.length).map { t =>
+          var sig = 0L
+          var b = 0
+          while (b < ps(t).length) {
+            var dot = 0.0
+            var d = 0
+            val plane = ps(t)(b)
+            while (d < e.length && d < plane.length) { dot += plane(d) * e(d); d += 1 }
+            if (dot >= 0) sig |= (1L << b)
+            b += 1
+          }
+          (id, t.toLong << 48 | sig)
+        }
+      }.toDF(outIdCol, "bucket")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dims = corpus.select(size(col("embedding"))).first().getInt(0)
-    // plane(table)(bit)(dim)
-    val planes = Array.tabulate(tables, nBits, dims)((t, b, d) => hyper(seed, t, b, d))
-    val bc = spark.sparkContext.broadcast(planes)
-    def buckets(df: DataFrame, outIdCol: String): DataFrame =
-      df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .flatMap { case (id, e) =>
-          val ps = bc.value
-          (0 until ps.length).map { t =>
-            var sig = 0L
-            var b = 0
-            while (b < ps(t).length) {
-              var dot = 0.0
-              var d = 0
-              val plane = ps(t)(b)
-              while (d < e.length && d < plane.length) { dot += plane(d) * e(d); d += 1 }
-              if (dot >= 0) sig |= (1L << b)
-              b += 1
-            }
-            (id, t.toLong << 48 | sig)
-          }
-        }.toDF(outIdCol, "bucket")
-    val cb = buckets(corpus, "neighbor_id")
-    val qb = buckets(queries, "query_id")
+    val cb = bucketize(corpus, "neighbor_id", nBits, tables, seed)
+    val qb = bucketize(queries, "query_id", nBits, tables, seed)
     val cand = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()

@@ -83,6 +83,84 @@ class CurationSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ngram jaccard: df cap leaves below-cap corpora unchanged") {
+    import spark.implicits._
+    val uncapped = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5, maxShingleDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5, maxShingleDf = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("ngram jaccard: hot boilerplate shingle is dropped, no candidate explosion") {
+    import spark.implicits._
+    // 200 docs, each = shared boilerplate prefix + a unique tail: every
+    // doc pair shares the boilerplate 3-grams, so the uncapped inverted
+    // index would enumerate all C(200,2)=19900 pairs. With the cap, the
+    // boilerplate shingles (df=200) are stop-shingles and only the two
+    // planted near-dup docs remain candidates.
+    val boiler = "terms of service apply to all users"
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"$boiler unique tail $i${"x" * (i % 3)} content block $i")
+    } :+ (999L, s"$boiler unique tail 7${"x" * (7 % 3)} content block 7 extra")
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(df, n = 3, threshold = 0.3, maxShingleDf = 50)
+      .as[(Long, Long, Double)].collect()
+    // only the planted pair (7, 999) shares rare shingles above threshold
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((7L, 999L)))
+  }
+
+  test("embedding near-dup blocked all-pairs: exact, no driver collect, no broadcast") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.embeddingNearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute-force reference computed in-test with the same arithmetic
+    val vecs = emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]) = {
+      var d = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    val exp = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      sim = dot(vecs(i)._2, vecs(j)._2) /
+        (math.sqrt(dot(vecs(i)._2, vecs(i)._2)) * math.sqrt(dot(vecs(j)._2, vecs(j)._2)))
+      if sim >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1, new java.math.BigDecimal(sim)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())).toSet
+    assert(got == exp)
+    // the scale contract: the plan distributes block pairs — no broadcast
+    // of the corpus, no driver-side table
+    val plan = Similarity.embeddingNearDupPairs(emb, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Broadcast"), s"unexpected broadcast in plan:\n$plan")
+  }
+
+  test("embedding LSH near-dup: recall 1.0 on gapped planted dups, subset of exact") {
+    import spark.implicits._
+    // 150 random unit-ish vectors + 12 planted near-dups (tiny noise →
+    // sim ≈ 0.999, a real gap at threshold 0.9). LSH is only claimed for
+    // gapped thresholds; this is that contract.
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 150).map(i => (i.toLong, vec()))
+    val dups = (0 until 12).map { i =>
+      val src = base(i)._2
+      (500L + i, src.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupPairs(emb, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} of ${exact.size} gapped pairs")
+    (0 until 12).foreach { i => assert(lsh.exists(p => p._1 == i && p._2 == 500L + i)) }
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")
