@@ -13,10 +13,14 @@ import graft.nlp.{DepGraph, TextOps}
   *   scan transcripts (partition-pruned, columns {conv_id,turn_idx,text})
   *     → groupByKey(conv_id)                  ← the ONE shuffle
   *     → flatMapGroups: per conversation, turns sorted by turn_idx:
-  *         segment → tag (broadcast CRF/gazetteer) → turn-window edge gen
-  *         → edge features (sentence-local dep graphs, combined-sentence
-  *           synthetic links for cross-sentence/turn pairs,
-  *           `data.py:1540-1666`) → broadcast linear scoring
+  *         segment → tag (broadcast CRF/gazetteer) → doc-level counts
+  *         (conversation == document, so `sentence.py:140-171`'s
+  *         per-document aggregations are group-LOCAL — zero extra
+  *         shuffle; the declarative route uses the salted distributed
+  *         forms RelationScoring.docEntityCounts/pairSentenceCounts)
+  *         → turn-window edge gen → edge features (sentence-local dep
+  *         graphs, combined-sentence synthetic links for cross-sentence/
+  *         turn pairs, `data.py:1540-1666`) → broadcast linear scoring
   *         → canonical triple keys, per-conversation dedup (in-group,
   *           conversations are bounded)
   *
@@ -48,9 +52,9 @@ object KgPipeline {
     else s"$relType|$e1|$e2"
   }
 
-  /** Candidate edges of one conversation: segment → tag → turn-window
-    * pair generation (+ optional edge features over the combined
-    * dependency context). Pure; no Spark.
+  /** Candidate edges of one conversation (materialized form — training
+    * and tests; inference streams through [[foreachCandidate]] with the
+    * positive-key short-circuit instead).
     */
   def candidateEdges(
       convId: String,
@@ -59,6 +63,33 @@ object KgPipeline {
       tagger: IndexedSeq[Tok] => Seq[(String, Int, Int)],
       withFeatures: Boolean,
       scorer: Option[RelationScoring.LinearModel] = None): Vector[Candidate] = {
+    val out = Vector.newBuilder[Candidate]
+    foreachCandidate(convId, turns, cfg, tagger, withFeatures, scorer,
+      skipKey = _ => false)(out += _)
+    out.result()
+  }
+
+  /** Streaming candidate generation: segment → tag → doc-level counts →
+    * turn-window pair generation (+ optional edge features over the
+    * combined dependency context). Pure; no Spark.
+    *
+    * `skipKey` is consulted BEFORE features/score are computed for a
+    * pair: the inference path passes the already-positive-key check —
+    * once any occurrence pair of a canonical key scores positive, the
+    * relation is predicted (`form_predicted_relations`,
+    * `data.py:276-294`) and further occurrence pairs cannot change the
+    * outcome, so their (expensive) feature enumeration is skipped.
+    * Iteration is turn-ascending, so the first positive also carries the
+    * minimal turn_idx the dedup keeps.
+    */
+  def foreachCandidate(
+      convId: String,
+      turns: Seq[Turn],
+      cfg: Config,
+      tagger: IndexedSeq[Tok] => Seq[(String, Int, Int)],
+      withFeatures: Boolean,
+      scorer: Option[RelationScoring.LinearModel],
+      skipKey: String => Boolean)(emit: Candidate => Unit): Unit = {
 
     val sorted = turns.sortBy(_.turn_idx)
     // per-sentence dependency parse memoized across all edges touching
@@ -70,7 +101,7 @@ object KgPipeline {
         val hs = DepGraph.heads(toks)
         val adj = DepGraph.adjacency(toks.length, hs)
         val root = hs.indices.find(i => hs(i) == i).getOrElse(0)
-        new RelationScoring.SentencePrep(toks, adj, DepGraph.depths(adj, root))
+        new RelationScoring.SentencePrep(toks, hs, adj, DepGraph.depths(adj, root))
       }
     }
     val ctxs: Vector[SentCtx] = sorted.iterator.flatMap { t =>
@@ -83,64 +114,118 @@ object KgPipeline {
       }
     }.toVector
 
+    // ---- document-level counts (`relations/new/sentence.py:140-171`) --
+    // conversation == document: group-local, no shuffle. entity2key is
+    // the mention's norm key (first norm id else lowercased text,
+    // `sentence.py:174-180`).
+    val needCtx = withFeatures || scorer.isDefined
+    val docCounts: collection.Map[(String, String), Int] =
+      if (!needCtx) Map.empty
+      else {
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+        ctxs.foreach(_.mentions.foreach { mm =>
+          val k = (mm.class_id, mm.norm)
+          m.update(k, m.getOrElse(k, 0) + 1)
+        })
+        m
+      }
+    // distinct sentences where a (class1-norm, class2-norm) pair
+    // co-occurs, keyed by class-ordered norm pair (`edge2key`,
+    // `sentence.py:183-191`)
+    val together: collection.Map[String, Int] =
+      if (!needCtx) Map.empty
+      else {
+        val sents = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.Set[(Int, Int)]]
+        ctxs.foreach { c =>
+          val n1 = c.mentions.iterator.filter(_.class_id == cfg.class1)
+            .map(_.norm).toSeq.distinct
+          val n2 = c.mentions.iterator.filter(_.class_id == cfg.class2)
+            .map(_.norm).toSeq.distinct
+          for (a <- n1; b <- n2) {
+            val key = if (cfg.class1 < cfg.class2) s"$a|$b" else s"$b|$a"
+            sents.getOrElseUpdate(key, scala.collection.mutable.Set.empty) +=
+              ((c.turnIdx, c.sentIdx))
+          }
+        }
+        sents.map { case (k, v) => (k, v.size) }
+      }
+    def edgeCtxOf(m1: Mention, m2: Mention, sentMentions: Seq[Mention])
+      : RelationScoring.EdgeCtx = {
+      val pairKey =
+        if (cfg.class1 < cfg.class2) s"${m1.norm}|${m2.norm}"
+        else s"${m2.norm}|${m1.norm}"
+      RelationScoring.EdgeCtx(
+        sentMentions = sentMentions,
+        e1DocCount = docCounts.getOrElse((m1.class_id, m1.norm), 0),
+        e2DocCount = docCounts.getOrElse((m2.class_id, m2.norm), 0),
+        togetherCount = together.getOrElse(pairKey, 0))
+    }
+
     val byTurn = ctxs.groupBy(_.turnIdx)
-    val out = Vector.newBuilder[Candidate]
 
     for (t1 <- sorted.map(_.turn_idx); dt <- 0 to cfg.window) {
       val t2 = t1 + dt
       if (byTurn.contains(t1) && byTurn.contains(t2)) {
-        for {
-          c1 <- byTurn(t1)
-          m1 <- c1.mentions if m1.class_id == cfg.class1
-          c2 <- byTurn(t2)
-          m2 <- c2.mentions if m2.class_id == cfg.class2
-          // never pair a mention with itself (only possible when the two
-          // entity classes coincide)
-          if !(cfg.class1 == cfg.class2 && c1.sentIdx == c2.sentIdx &&
-            c1.turnIdx == c2.turnIdx && m1.begin == m2.begin && m1.end == m2.end)
-        } {
+        for (c1 <- byTurn(t1); c2 <- byTurn(t2)) {
           val sameSent = c1.turnIdx == c2.turnIdx && c1.sentIdx == c2.sentIdx
           val sentDist =
             if (c1.turnIdx == c2.turnIdx) math.abs(c2.sentIdx - c1.sentIdx)
             else cfg.window + math.abs(c2.turnIdx - c1.turnIdx)
-          // same-sentence pairs share the memoized per-sentence prep
-          // (POS/mask/stem/head/path caches amortize over the k² pairs);
-          // cross-context pairs build a combined prep per pair
-          def combinedCtx: (RelationScoring.SentencePrep, Mention, Mention) = {
-            val (toks, mm1, mm2, adj, depth) = combined(c1.toks, c2.toks, sameSent, m1, m2)
-            (new RelationScoring.SentencePrep(toks, adj, depth), mm1, mm2)
-          }
-          val feats =
-            if (!withFeatures) Map.empty[String, Double]
-            else if (sameSent)
-              RelationScoring.features(c1.toks, c1.prep.adj, c1.prep.depth,
-                m1, m2, sameSent, sentDist)
-            else {
-              val (p, mm1, mm2) = combinedCtx
-              RelationScoring.features(p.toks, p.adj, p.depth, mm1, mm2, sameSent, sentDist)
-            }
-          val score = scorer match {
-            case None => 1.0
-            case Some(lm) =>
-              if (sameSent)
-                RelationScoring.scoreEdge(lm, c1.prep, m1, m2, sameSent, sentDist)
-              else {
-                val (p, mm1, mm2) = combinedCtx
-                RelationScoring.scoreEdge(lm, p, mm1, mm2, sameSent, sentDist)
+          // combined context hoisted per sentence PAIR: token/dep work is
+          // mention-independent, only the m2-side offsets shift per pair
+          lazy val cross = combined(c1.toks, c2.toks)
+          lazy val crossPrep = new RelationScoring.SentencePrep(
+            cross.toks, cross.heads, cross.adj, cross.depth, cross.extraLabels)
+          lazy val crossMentions: Seq[Mention] =
+            c1.mentions ++ c2.mentions.map(m =>
+              m.copy(begin = m.begin + cross.delta, end = m.end + cross.delta))
+          for {
+            m1 <- c1.mentions if m1.class_id == cfg.class1
+            m2 <- c2.mentions if m2.class_id == cfg.class2
+            // never pair a mention with itself (only possible when the two
+            // entity classes coincide)
+            if !(cfg.class1 == cfg.class2 && sameSent &&
+              m1.begin == m2.begin && m1.end == m2.end)
+          } {
+            val key = tripleKey(cfg.relType, m1, m2)
+            if (!skipKey(key)) {
+              // same-sentence pairs share the memoized per-sentence prep
+              // (POS/mask/stem/head/path caches amortize over the k²
+              // pairs); cross-context pairs share the hoisted pair prep
+              val (prep, mm1, mm2, sentMs) =
+                if (sameSent) (c1.prep, m1, m2, c1.mentions)
+                else (crossPrep, m1,
+                  m2.copy(begin = m2.begin + cross.delta, end = m2.end + cross.delta),
+                  crossMentions)
+              lazy val ctx = edgeCtxOf(m1, m2, sentMs)
+              val feats =
+                if (!withFeatures) Map.empty[String, Double]
+                else RelationScoring.features(prep, mm1, mm2, sameSent, sentDist, ctx)
+              val score = scorer match {
+                case None => 1.0
+                case Some(lm) =>
+                  RelationScoring.scoreEdge(lm, prep, mm1, mm2, sameSent, sentDist, ctx)
               }
+              emit(Candidate(m1, m2, t1, sameSent, sentDist, key, feats, score))
+            }
           }
-          out += Candidate(m1, m2, t1, sameSent, sentDist,
-            tripleKey(cfg.relType, m1, m2), feats, score)
         }
       }
     }
-    out.result()
   }
 
   /** Per-conversation pure function: turns (any order) → deduped scored
     * triples (scorer None = stub extractor: every candidate is a
     * relation, `taggers.py:126-185`). Exposed for unit tests; `triples`
     * wires it distributed.
+    *
+    * Scoring short-circuit: once a canonical key has a positive
+    * occurrence, remaining occurrence pairs of that key are skipped
+    * before feature enumeration — with dense repeated mentions this
+    * collapses O(k²) scored pairs per conversation to O(distinct keys)
+    * once the positives are found (semantics unchanged: predicted =
+    * "any occurrence positive", turn kept = first = minimal).
     */
   def processConversation(
       convId: String,
@@ -150,27 +235,60 @@ object KgPipeline {
       scorer: Option[RelationScoring.LinearModel]): Vector[TripleRow] = {
 
     val out = scala.collection.mutable.HashMap.empty[String, TripleRow]
-    candidateEdges(convId, turns, cfg, tagger, withFeatures = false, scorer)
-      .foreach { c =>
-        val score = c.score
-        if (score > 0) {
-          val row = TripleRow(convId, c.turn1, cfg.relType,
-            s"${c.m1.class_id}|${c.m1.text.toLowerCase}",
-            s"${c.m2.class_id}|${c.m2.text.toLowerCase}", c.key, score)
-          out.get(c.key) match {
-            case Some(prev) if prev.turn_idx < row.turn_idx => // keep first turn
-            case Some(prev) if prev.turn_idx == row.turn_idx && prev.score >= score =>
-            case _ => out.update(c.key, row)
-          }
-        }
+    foreachCandidate(convId, turns, cfg, tagger, withFeatures = false, scorer,
+      skipKey = out.contains) { c =>
+      if (c.score > 0) {
+        out.update(c.key, TripleRow(convId, c.turn1, cfg.relType,
+          s"${c.m1.class_id}|${c.m1.text.toLowerCase}",
+          s"${c.m2.class_id}|${c.m2.text.toLowerCase}", c.key, c.score))
       }
+    }
     out.values.toVector.sortBy(r => (r.turn_idx, r.key))
   }
 
-  /** Combined-token context for a candidate pair: same sentence → that
-    * sentence; otherwise the two sentences concatenated with re-based
-    * offsets, a synthetic root↔root dependency (rootDepForward/Backward,
-    * `data.py:1617-1646`) and same-word noun links (`data.py:1649-1666`).
+  /** Combined-token context for a cross-sentence/turn candidate pair:
+    * the two sentences concatenated with re-based offsets, a synthetic
+    * root↔root dependency (rootDepForward/Backward, `data.py:1617-1646`)
+    * and same-word noun links (`data.py:1649-1666`). `delta` is the
+    * offset shift applied to the second sentence's char coordinates.
+    */
+  final case class CombinedCtx(toks: IndexedSeq[Tok], heads: Array[Int],
+      adj: Array[List[Int]], depth: Array[Int],
+      extraLabels: Map[Long, String], delta: Int)
+
+  def combined(toks1: IndexedSeq[Tok], toks2: IndexedSeq[Tok]): CombinedCtx = {
+    val delta = (if (toks1.nonEmpty) toks1.last.end + 1 else 0) -
+      (if (toks2.nonEmpty) toks2.head.begin else 0)
+    val shifted = toks2.zipWithIndex.map { case (t, i) =>
+      Tok(toks1.length + i, t.word, t.begin + delta, t.end + delta)
+    }
+    val all = toks1 ++ shifted
+    val hs1 = DepGraph.heads(toks1)
+    val hs2 = DepGraph.heads(toks2)
+    val heads = Array.tabulate(all.length) { i =>
+      if (i < toks1.length) hs1(i) else hs2(i - toks1.length) + toks1.length
+    }
+    val root1 = hs1.indices.find(i => hs1(i) == i).getOrElse(0)
+    val root2 = hs2.indices.find(i => hs2(i) == i).getOrElse(0) + toks1.length
+    // same-word noun links across the two sides (`data.py:1649-1666`)
+    val nouns1 = toks1.indices.filter(i => DepGraph.coarsePos(toks1(i).word) == "NOUN")
+    val nouns2 = shifted.indices.map(_ + toks1.length)
+      .filter(i => DepGraph.coarsePos(all(i).word) == "NOUN")
+    val lemmaLinks = for {
+      a <- nouns1; b <- nouns2
+      if all(a).word.equalsIgnoreCase(all(b).word)
+    } yield (a, b)
+    def pack(u: Int, v: Int): Long =
+      (math.min(u, v).toLong << 32) | math.max(u, v).toLong
+    val extraLabels: Map[Long, String] =
+      (lemmaLinks.map(l => pack(l._1, l._2) -> "sameLemma") :+
+        (pack(root1, root2) -> "rootDep")).toMap
+    val adj = DepGraph.adjacency(all.length, heads, (root1, root2) +: lemmaLinks)
+    CombinedCtx(all, heads, adj, DepGraph.depths(adj, root1), extraLabels, delta)
+  }
+
+  /** Backwards-compatible form returning the shifted m2 along with the
+    * combined structures (used by tests asserting the re-basing).
     */
   def combined(toks1: IndexedSeq[Tok], toks2: IndexedSeq[Tok], sameCtx: Boolean,
                m1: Mention, m2: Mention)
@@ -181,30 +299,9 @@ object KgPipeline {
       val root = hs.indices.find(i => hs(i) == i).getOrElse(0)
       (toks1, m1, m2, adj, DepGraph.depths(adj, root))
     } else {
-      val delta = (if (toks1.nonEmpty) toks1.last.end + 1 else 0) -
-        (if (toks2.nonEmpty) toks2.head.begin else 0)
-      val shifted = toks2.zipWithIndex.map { case (t, i) =>
-        Tok(toks1.length + i, t.word, t.begin + delta, t.end + delta)
-      }
-      val all = toks1 ++ shifted
-      val hs1 = DepGraph.heads(toks1)
-      val hs2 = DepGraph.heads(toks2)
-      val heads = Array.tabulate(all.length) { i =>
-        if (i < toks1.length) hs1(i) else hs2(i - toks1.length) + toks1.length
-      }
-      val root1 = hs1.indices.find(i => hs1(i) == i).getOrElse(0)
-      val root2 = hs2.indices.find(i => hs2(i) == i).getOrElse(0) + toks1.length
-      // same-word noun links across the two sides (`data.py:1649-1666`)
-      val nouns1 = toks1.indices.filter(i => DepGraph.coarsePos(toks1(i).word) == "NOUN")
-      val nouns2 = shifted.indices.map(_ + toks1.length)
-        .filter(i => DepGraph.coarsePos(all(i).word) == "NOUN")
-      val lemmaLinks = for {
-        a <- nouns1; b <- nouns2
-        if all(a).word.equalsIgnoreCase(all(b).word)
-      } yield (a, b)
-      val adj = DepGraph.adjacency(all.length, heads, (root1, root2) +: lemmaLinks)
-      val m2s = m2.copy(begin = m2.begin + delta, end = m2.end + delta)
-      (all, m1, m2s, adj, DepGraph.depths(adj, root1))
+      val c = combined(toks1, toks2)
+      (c.toks, m1, m2.copy(begin = m2.begin + c.delta, end = m2.end + c.delta),
+        c.adj, c.depth)
     }
   }
 

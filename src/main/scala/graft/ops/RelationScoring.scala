@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.model._
 import graft.nlp.{DepGraph, Porter, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Edge feature vectors + SVM-style linear relation scoring — nalaf's
   * relation-extraction stage (nalaf/features/relations package,
@@ -13,11 +15,34 @@ import graft.nlp.{DepGraph, Porter, TextOps}
   * interning dict is a driver bottleneck and a broadcast-consistency
   * hazard; hashing gives identical train/predict indices with zero
   * coordination, the standard trade (rare collisions) at this scale.
-  * The *feature definitions* mirror the reference's defaults:
-  * SentenceFeatureGenerator counts/order (`relations/new/sentence.py`),
-  * LD linear-context and PD dependency-path n-grams
-  * (`relations/new/dependency.py:20-221`), entity-head surface features
-  * (`relations/entityhead.py`), linear distance (`relations/context.py`).
+  *
+  * The *feature definitions* mirror the reference's generators:
+  *  - SentenceFeatureGenerator, complete incl. the DOCUMENT-level
+  *    `f_entity{1,2}_count` / `f_diff_sents_together_count`
+  *    (`relations/new/sentence.py:12-216`; doc-level 140-171). In the
+  *    fused pipeline the document == the conversation, so the doc-level
+  *    counts are computed group-locally (no extra shuffle); the
+  *    declarative route uses the salted two-phase [[docEntityCounts]] /
+  *    [[pairSentenceCounts]] aggregations (north_rule shape).
+  *  - DependencyFeatureGenerator LD + PD paths with bow/POS n-grams
+  *    1..4, token counts ±punct, path negation, and the PD-only
+  *    undirected/directed/full edge n-grams (`new/dependency.py:20-221`,
+  *    path algebra `utils/graphs.py:186-xxx` Path/PathNode). OW/IW
+  *    windows are skipped exactly like the reference (commented out
+  *    there, `dependency.py:129-161`).
+  *  - Entity-head surface/case/digit/punct/char-2-3-grams
+  *    (`relations/entityhead.py:7-229`) and dependency CHAINS to depth 3
+  *    with linear-order features (`entityhead.py:230-302`). Our rule
+  *    parser has unlabeled deps, so chain dep labels are the constant
+  *    "dep" — the chain signal carries via direction tags + visited-token
+  *    features (documented deviation).
+  *  - LinearDistance / EntityOrder (`relations/context.py:5-73`).
+  *  - IntermediateTokens with fwd/bkd directional variants + the
+  *    undirected set (`context.py:76-166`).
+  *  - NamedEntityCount / BagOfWords / StemmedBagOfWords
+  *    (`relations/sentence.py:6-113`). Deviation: the reference adds the
+  *    stemmed BOW only in training mode (dead weights at predict); we
+  *    enumerate identically in both paths so train/predict indices agree.
   */
 object RelationScoring {
 
@@ -30,18 +55,44 @@ object RelationScoring {
     ((x % Dims) + Dims).toInt % Dims
   }
 
+  /** Per-edge context beyond the sentence: mentions of the edge's
+    * sentence(s) (combined-token coordinates) and the document-level
+    * counts of `relations/new/sentence.py:140-171`:
+    * `e1DocCount`/`e2DocCount` = occurrences of the entity's norm key in
+    * the whole conversation (per class); `togetherCount` = number of
+    * DISTINCT sentences where the pair's norm keys co-occur.
+    */
+  final case class EdgeCtx(
+      sentMentions: Seq[Mention] = Nil,
+      e1DocCount: Int = 0,
+      e2DocCount: Int = 0,
+      togetherCount: Int = 0)
+  object EdgeCtx { val empty: EdgeCtx = EdgeCtx() }
+
   /** Sentence-local candidate: tokens of the (possibly combined) sentence,
     * token index of each entity head, char spans of the two mentions.
     * Map form — used by TRAINING (needs materialized vectors) and tests.
     */
   def features(
       toks: IndexedSeq[Tok],
+      heads: Array[Int],
       adj: Array[List[Int]],
       depth: Array[Int],
       m1: Mention, m2: Mention,
-      sameSentence: Boolean, sentDist: Int): Map[String, Double] = {
+      sameSentence: Boolean, sentDist: Int,
+      ctx: EdgeCtx = EdgeCtx.empty): Map[String, Double] =
+    features(new SentencePrep(toks, heads, adj, depth), m1, m2,
+      sameSentence, sentDist, ctx)
+
+  /** Prep-sharing form — the pipeline passes the SAME memoized prep
+    * (incl. synthetic-link labels) to both the Map and the fold path so
+    * hashed indices agree by construction.
+    */
+  def features(prep: SentencePrep, m1: Mention, m2: Mention,
+      sameSentence: Boolean, sentDist: Int,
+      ctx: EdgeCtx): Map[String, Double] = {
     val out = scala.collection.mutable.HashMap.empty[String, Double]
-    enumerate(new SentencePrep(toks, adj, depth), m1, m2, sameSentence, sentDist) { (f, v) =>
+    enumerate(prep, m1, m2, sameSentence, sentDist, ctx) { (f, v) =>
       out.update(f, out.getOrElse(f, 0.0) + v)
     }
     out.toMap
@@ -52,17 +103,12 @@ object RelationScoring {
     * sort. This is the inference hot path (GC-bound at 32 threads
     * otherwise).
     */
-  def scoreEdge(model: LinearModel,
-      toks: IndexedSeq[Tok], adj: Array[List[Int]], depth: Array[Int],
-      m1: Mention, m2: Mention,
-      sameSentence: Boolean, sentDist: Int): Double =
-    scoreEdge(model, new SentencePrep(toks, adj, depth), m1, m2, sameSentence, sentDist)
-
   def scoreEdge(model: LinearModel, prep: SentencePrep,
       m1: Mention, m2: Mention,
-      sameSentence: Boolean, sentDist: Int): Double = {
+      sameSentence: Boolean, sentDist: Int,
+      ctx: EdgeCtx = EdgeCtx.empty): Double = {
     var s = model.b
-    enumerate(prep, m1, m2, sameSentence, sentDist) { (f, v) =>
+    enumerate(prep, m1, m2, sameSentence, sentDist, ctx) { (f, v) =>
       s += model.w(h(f)) * v
     }
     s
@@ -73,9 +119,14 @@ object RelationScoring {
     * per-sentence graph cache (`utils/graph.py:29-46`). With dense
     * mentions (k per class) a sentence yields O(k²) pairs; without this
     * cache POS/stem/mask/head work is recomputed per pair.
+    *
+    * `heads(i)` is token i's dependency head (root points to itself);
+    * `extraLabels` carries the labels of synthetic combined-sentence
+    * links ((min,max)-packed key → label, `data.py:1617-1666`).
     */
-  final class SentencePrep(val toks: IndexedSeq[Tok], val adj: Array[List[Int]],
-                           val depth: Array[Int]) {
+  final class SentencePrep(val toks: IndexedSeq[Tok], val heads: Array[Int],
+                           val adj: Array[List[Int]], val depth: Array[Int],
+                           val extraLabels: Map[Long, String] = Map.empty) {
     // per-index caches (not eager arrays): a pair typically touches only
     // its path/between tokens, so cross-context preps stay cheap while
     // dense same-sentence preps still amortize fully
@@ -107,7 +158,41 @@ object RelationScoring {
     private val pathCache = scala.collection.mutable.HashMap.empty[(Int, Int), Vector[Int]]
     def path(a: Int, b: Int): Vector[Int] =
       pathCache.getOrElseUpdate((a, b), DepGraph.shortestPath(adj, a, b))
+
+    private def pack(u: Int, v: Int): Long =
+      (math.min(u, v).toLong << 32) | math.max(u, v).toLong
+    /** Dependency label of the edge (u, v): "dep" for parser edges,
+      * the synthetic link's label otherwise (`PathNode.edge_type`).
+      */
+    def edgeLabel(u: Int, v: Int): String =
+      if (u < heads.length && v < heads.length && (heads(v) == u || heads(u) == v)) "dep"
+      else extraLabels.getOrElse(pack(u, v), "user")
+    /** Direction of the step u→v: "F" when u is v's head, "B" when v is
+      * u's head (`PathNode.str_direction`); synthetic links read forward
+      * in insertion (left-to-right) order.
+      */
+    def edgeDir(u: Int, v: Int): String =
+      if (v < heads.length && heads(v) == u) "F"
+      else if (u < heads.length && heads(u) == v) "B"
+      else if (u < v) "F" else "B"
   }
+
+  // compact English stopword list (NLTK-core subset) for the BOW
+  // generators — self-contained, no external corpus
+  private val stopWords: Set[String] = Set(
+    "i", "me", "my", "we", "our", "you", "your", "he", "him", "his", "she",
+    "her", "it", "its", "they", "them", "their", "what", "which", "who",
+    "this", "that", "these", "those", "am", "is", "are", "was", "were",
+    "be", "been", "being", "have", "has", "had", "do", "does", "did", "a",
+    "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against",
+    "between", "into", "through", "during", "before", "after", "above",
+    "below", "to", "from", "up", "down", "in", "out", "on", "off", "over",
+    "under", "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "can", "will", "just", "should",
+    "now")
 
   /** Single source of truth for the edge feature set; both the training
     * (Map) and inference (fold) paths stream through here, so hashed
@@ -116,7 +201,8 @@ object RelationScoring {
   private def enumerate(
       prep: SentencePrep,
       m1: Mention, m2: Mention,
-      sameSentence: Boolean, sentDist: Int)(add0: (String, Double) => Unit): Unit = {
+      sameSentence: Boolean, sentDist: Int,
+      ctx: EdgeCtx)(add0: (String, Double) => Unit): Unit = {
 
     val toks = prep.toks
     def add(f: String, v: Double = 1.0): Unit = add0(f, v)
@@ -124,16 +210,70 @@ object RelationScoring {
     val h1 = prep.head(m1.begin, m1.end)
     val h2 = prep.head(m2.begin, m2.end)
 
+    def inSpan(t: Tok, m: Mention): Boolean = t.begin >= m.begin && t.end <= m.end
     def masked(i: Int): String = {
       val t = toks(i)
-      if (t.begin >= m1.begin && t.end <= m1.end) m1.class_id
-      else if (t.begin >= m2.begin && t.end <= m2.end) m2.class_id
+      if (inSpan(t, m1)) m1.class_id
+      else if (inSpan(t, m2)) m2.class_id
       else prep.maskedBase(i)
     }
+    /** ann class of token i: the edge's entities first, then any other
+      * sentence mention containing it (masked_text / ann_type semantics).
+      */
+    def annClass(i: Int): String = {
+      val t = toks(i)
+      if (inSpan(t, m1)) m1.class_id
+      else if (inSpan(t, m2)) m2.class_id
+      else ctx.sentMentions.find(m => inSpan(t, m)).map(_.class_id).orNull
+    }
 
-    // --- SentenceFeatureGenerator subset (`relations/new/sentence.py`) ---
+    // token index bounds of each mention (first/last token within span)
+    def firstTok(m: Mention): Int = toks.indexWhere(t => inSpan(t, m))
+    def lastTok(m: Mention): Int = toks.lastIndexWhere(t => inSpan(t, m))
+    val e1First = firstTok(m1); val e1Last = lastTok(m1)
+    val e2First = firstTok(m2); val e2Last = lastTok(m2)
+
+    // ==== SentenceFeatureGenerator (`relations/new/sentence.py`) ========
     add(s"order=${m1.class_id}_${m2.class_id}")
+    if (m1.class_id < m2.class_id) add("f_order")
     add(if (sameSentence) "same_sent" else s"sent_dist=$sentDist")
+
+    // entity counts in the edge's sentence(s) (`sentence.py:82-105`):
+    // per class, individual = count - 1 (one is the edge's own entity)
+    if (ctx.sentMentions.nonEmpty) {
+      val byClass = ctx.sentMentions.groupBy(_.class_id)
+      var total = 0
+      byClass.toSeq.sortBy(_._1).foreach { case (cls, ms) =>
+        val ind = math.max(0, ms.size - 1)
+        total += ind
+        add(s"f_counts_ind=$cls", ind.toDouble)
+      }
+      add("f_counts_total", total.toDouble)
+      // entities strictly between the pair (char-span between the
+      // earlier mention's end and the later one's begin)
+      val (lo, hi) =
+        if (m1.begin <= m2.begin) (m1.end, m2.begin) else (m2.end, m1.begin)
+      val between = ctx.sentMentions.filter(m => m.begin >= lo && m.end <= hi)
+      var btotal = 0
+      between.groupBy(_.class_id).toSeq.sortBy(_._1).foreach { case (cls, ms) =>
+        btotal += ms.size
+        add(s"f_counts_bet=$cls", ms.size.toDouble)
+      }
+      add("f_counts_bet_total", btotal.toDouble)
+    }
+
+    // masked-lemma BOW + coarse POS of the whole (combined) sentence
+    // (`sentence.py:111-113`)
+    var ti = 0
+    while (ti < toks.length) {
+      add(s"f_bow=${masked(ti)}")
+      add(s"f_pos=${prep.pos(ti)}")
+      ti += 1
+    }
+    add("f_tokens_count", toks.length.toDouble)
+    if (e1First >= 0) add("f_tokens_count_before", e1First.toDouble)
+    if (e2Last >= 0) add("f_tokens_count_after", (toks.length - 1 - e2Last).toDouble)
+
     val between = if (h1 >= 0 && h2 >= 0) {
       val lo = math.min(h1, h2); val hi = math.max(h1, h2)
       (lo + 1 until hi)
@@ -141,21 +281,27 @@ object RelationScoring {
     add("n_between", between.size.toDouble)
     between.foreach { i => add(s"bow_bet=${masked(i)}") }
 
-    // sentence negation + main-verb lemmas (`relations/new/sentence.py`
-    // counts/negation block; semantics via DepGraph.isNegated/mainVerbs)
+    // sentence negation + main-verb lemmas (`sentence.py:127-138`)
     if (prep.negated) add("sent_negated")
-    prep.mainVerbStems.foreach { v => add(s"main_verb=$v") }
+    if (prep.mainVerbStems.isEmpty) add("main_verb=NO_MAIN_VERB")
+    else prep.mainVerbStems.foreach { v => add(s"main_verb=$v") }
 
-    // --- LinearDistanceFeatureGenerator (`relations/context.py:5-43`) ---
+    // DOCUMENT-level (`sentence.py:140-171`): per-conversation norm-key
+    // frequency of each entity, distinct-sentence co-occurrence count
+    add("f_entity1_count", ctx.e1DocCount.toDouble)
+    add("f_entity2_count", ctx.e2DocCount.toDouble)
+    if (ctx.togetherCount > 0)
+      add("f_diff_sents_together_count", ctx.togetherCount.toDouble)
+
+    // ==== LinearDistance / EntityOrder (`relations/context.py:5-73`) ====
     if (h1 >= 0 && h2 >= 0) {
       val d = math.abs(h1 - h2)
       add("tok_dist", d.toDouble)
       if (d > 5) add("tok_dist_gt5")
     }
 
-    // --- Entity-head surface (`relations/entityhead.py`) ----------------
+    // ==== Entity-head surface (`relations/entityhead.py:7-229`) =========
     // stem/POS + case/digit/punct flags and char 2/3-grams
-    // (`entityhead.py:96-187`)
     def headSurface(prefix: String, hi: Int): Unit = if (hi >= 0) {
       val w = toks(hi).word
       add(s"${prefix}_stem=${prep.stem(hi)}")
@@ -176,7 +322,172 @@ object RelationScoring {
     headSurface("h1", h1)
     headSurface("h2", h2)
 
-    // --- PD dependency-path features (`relations/new/dependency.py`) ----
+    // per-token surface features of the entities' own tokens
+    // (TokenFeatureGenerator.token_features via the chain generator,
+    // `entityhead.py:252-260`, `relations/__init__.py:98-170` subset)
+    def entityTokenFeats(prefix: String, first: Int, last: Int): Unit =
+      if (first >= 0) {
+        var i = first
+        while (i <= last) {
+          add(s"${prefix}_txt=${toks(i).word.toLowerCase}")
+          add(s"${prefix}_pos=${prep.pos(i)}")
+          add(s"${prefix}_stem=${prep.stem(i)}")
+          i += 1
+        }
+      }
+    entityTokenFeats("e1", e1First, e1Last)
+    entityTokenFeats("e2", e2First, e2Last)
+
+    // ==== IntermediateTokens (`context.py:76-166`): tokens strictly
+    // between the heads, directional (fwd when h1 < h2, bkd otherwise)
+    // plus the undirected variants ================================
+    if (h1 >= 0 && h2 >= 0) {
+      val dir = if (h1 < h2) "fwd" else "bkd"
+      between.foreach { i =>
+        val w = toks(i).word.toLowerCase
+        add(s"it_${dir}_bow=$w")
+        add(s"it_${dir}_masked=${masked(i)}")
+        add(s"it_${dir}_stem=${prep.stem(i)}")
+        add(s"it_${dir}_pos=${prep.pos(i)}")
+        add(s"it_bow=$w")
+        add(s"it_masked=${masked(i)}")
+        add(s"it_stem=${prep.stem(i)}")
+        add(s"it_pos=${prep.pos(i)}")
+      }
+    }
+
+    // ==== NamedEntityCount (`relations/sentence.py:6-30`): count of
+    // same-class entities in the edge's sentence(s), count in the name ==
+    if (ctx.sentMentions.nonEmpty) {
+      ctx.sentMentions.groupBy(_.class_id).toSeq.sortBy(_._1)
+        .foreach { case (cls, ms) => add(s"ne_count_${cls}_${ms.size}") }
+    }
+
+    // ==== BagOfWords / StemmedBagOfWords (`relations/sentence.py:33-113`)
+    // sentence BOW minus stopwords/punct; per-entity-token word counts ==
+    {
+      val neCounts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < toks.length) {
+        val w = toks(i).word
+        val isPunct = prep.pos(i) == "PUNCT"
+        if (!isPunct && !stopWords.contains(w.toLowerCase)) {
+          add(s"bow_text=$w")
+          if (annClass(i) != null)
+            neCounts.update(w, neCounts.getOrElse(w, 0) + 1)
+        }
+        if (!isPunct && !stopWords.contains(prep.stem(i)))
+          add(s"bow_stem=${prep.stem(i)}")
+        i += 1
+      }
+      neCounts.toSeq.sortBy(_._1).foreach { case (w, c) =>
+        add(s"ne_bow=$w", c.toDouble)
+      }
+    }
+
+    // ==== DependencyFeatureGenerator LD + PD (`new/dependency.py`) ======
+    // LD: linear tokens from e1's last to e2's first (sorted by offset);
+    // PD: shortest dependency path between the heads. Both emit masked-
+    // lemma and POS n-grams 1..4 with [SOURCE/[TARGET] sentinels, token
+    // counts ±punct and path negation; PD adds undirected/directed edge
+    // n-grams and full n-grams (`utils/graphs.py` Path string algebra).
+    def pathFeatures(name: String, path: IndexedSeq[Int], withEdges: Boolean): Unit = {
+      if (path.length < 2) return
+      val last = path.length - 1
+      def tokStr(k: Int, render: Int => String): String =
+        if (k == 0) "[S" else if (k == last) "T]" else render(path(k))
+      // token-only n-grams: n=1 over middle, n>1 over all nodes
+      def tokenNGrams(kind: String, render: Int => String): Unit = {
+        var k = 1
+        while (k < last) { add(s"${name}_${kind}_1g=${render(path(k))}"); k += 1 }
+        var n = 2
+        while (n <= 4) {
+          var s = 0
+          while (s + n <= path.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append('~')
+              sb.append(tokStr(s + j, render))
+              j += 1
+            }
+            add(s"${name}_${kind}_${n}g=$sb")
+            s += 1
+          }
+          n += 1
+        }
+      }
+      tokenNGrams("bow", i => masked(i))
+      tokenNGrams("pos", i => prep.pos(i))
+      // counts + negation over the middle tokens
+      val middle = (1 until last).map(path(_))
+      add(s"${name}_tokens_count", middle.size.toDouble)
+      add(s"${name}_tokens_count_nopunct",
+        middle.count(i => prep.pos(i) != "PUNCT").toDouble)
+      if (DepGraph.isNegated(middle.map(toks(_))))
+        add(s"${name}_is_negated")
+      if (withEdges) {
+        // edge n-grams over source+middle steps (PathNode.edge_type)
+        val steps = (0 until last).map { k =>
+          (prep.edgeLabel(path(k), path(k + 1)), prep.edgeDir(path(k), path(k + 1)))
+        }
+        var n = 1
+        while (n <= 4) {
+          var s = 0
+          while (s + n <= steps.length) {
+            val und = new java.lang.StringBuilder
+            val dir = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (j > 0) { und.append('~'); dir.append('~') }
+              und.append(steps(s + j)._1)
+              dir.append(steps(s + j)._1).append('-').append(steps(s + j)._2)
+              j += 1
+            }
+            add(s"${name}_undir_${n}g=$und")
+            add(s"${name}_dir_${n}g=$dir")
+            s += 1
+          }
+          n += 1
+        }
+        // full n-grams: token + directed edge per node (n=1 over
+        // source+middle, n>1 over all nodes)
+        def fullStr(k: Int): String = {
+          val t = tokStr(k, i => masked(i))
+          if (k < last)
+            t + " " + steps(k)._1 + "-" + steps(k)._2
+          else t
+        }
+        var k = 0
+        while (k < last) { add(s"${name}_full_1g=${fullStr(k)}"); k += 1 }
+        n = 2
+        while (n <= 4) {
+          var s = 0
+          while (s + n <= path.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append('~')
+              sb.append(fullStr(s + j))
+              j += 1
+            }
+            add(s"${name}_full_${n}g=$sb")
+            s += 1
+          }
+          n += 1
+        }
+      }
+    }
+
+    // LD path: e1-last .. e2-first in offset order (`dependency.py:163-168`)
+    if (e1First >= 0 && e2First >= 0) {
+      val (ldFrom, ldTo) =
+        if (m1.begin <= m2.begin) (e1Last, e2First) else (e2Last, e1First)
+      if (ldFrom >= 0 && ldTo > ldFrom)
+        pathFeatures("ld", ldFrom to ldTo, withEdges = false)
+    }
+
+    // PD path (`dependency.py:170`): shortest path between heads
     if (h1 >= 0 && h2 >= 0) {
       val path = prep.path(h1, h2)
       if (path.nonEmpty) {
@@ -188,15 +499,93 @@ object RelationScoring {
           if (prep.pos(i) == "VERB")
             add(s"pd_verb=${Porter.stem(toks(i).word.toLowerCase)}")
         }
-        // path n-grams n=1..3 of masked lemmas (`dependency.py:163-221`)
-        val lemmas = path.map(masked)
-        (1 to 3).foreach { n =>
-          lemmas.sliding(n).foreach { gram =>
-            if (gram.length == n) add(s"pd_${n}gram=${gram.mkString("~")}")
-          }
-        }
+        pathFeatures("pd", path, withEdges = true)
       } else add("pd_unreachable")
     }
+
+    // ==== Entity-head dependency chains, depth 3 (`entityhead.py:230-302`)
+    // up = dependency_from (head), down = dependency_to (children); each
+    // visited token contributes linear-order features (txt/pos/masked/
+    // ann_type). Dep labels are the constant "dep" in our unlabeled
+    // parser, so the chain signal is direction tags + token features.
+    def linearOrder(prefix: String, i: Int): Unit = {
+      add(s"${prefix}txt=${toks(i).word.toLowerCase}")
+      add(s"${prefix}pos=${prep.pos(i)}")
+      add(s"${prefix}masked=${masked(i)}")
+      val ac = annClass(i)
+      if (ac != null) {
+        add(s"${prefix}ann_entity")
+        add(s"${prefix}ann_type=$ac")
+      }
+    }
+    def chains(prefix: String, t: Int, chain: String, depthLeft: Int): Unit = {
+      if (depthLeft == 0 || t < 0) return
+      val ds = s"dist_${depthLeft}_"
+      val parent = if (t < prep.heads.length) prep.heads(t) else t
+      if (parent != t) {
+        add(s"${prefix}dep_${ds}from_dep")
+        add(s"${prefix}chain_dep_$ds$chain-fw_dep")
+        linearOrder(s"$prefix$ds", parent)
+        chains(prefix, parent, s"$chain-fw", depthLeft - 1)
+      }
+      var c = 0
+      while (c < prep.heads.length) {
+        if (c != t && prep.heads(c) == t) {
+          add(s"${prefix}dep_${ds}to_dep")
+          add(s"${prefix}chain_dep_$ds$chain-rv_dep")
+          linearOrder(s"$prefix$ds", c)
+          chains(prefix, c, s"$chain-rv", depthLeft - 1)
+        }
+        c += 1
+      }
+    }
+    if (h1 >= 0) chains("e1_", h1, "", 3)
+    if (h2 >= 0) chains("e2_", h2, "", 3)
+  }
+
+  // ==== Distributed doc-level count aggregations (declarative route) ====
+
+  /** Per-(conv, class, norm-key) mention counts — the distributed form of
+    * the doc-level `f_entity{1,2}_count` (`sentence.py:140-154`), as the
+    * SALTED two-phase groupBy + join-back the north_rule names: phase 1
+    * aggregates within (key, salt) buckets so one hot surface form never
+    * pins a single reducer, phase 2 merges the partials. Join the result
+    * back to edges on (conv_id, class_id, norm).
+    */
+  def docEntityCounts(mentions: Dataset[Mention], salts: Int = 16): DataFrame = {
+    import mentions.sparkSession.implicits._
+    mentions.toDF()
+      .withColumn("salt", pmod(xxhash64($"turn_idx", $"begin"), lit(salts)))
+      .groupBy($"conv_id", $"class_id", $"norm", $"salt")
+      .agg(count(lit(1)).as("n_p"))
+      .groupBy($"conv_id", $"class_id", $"norm")
+      .agg(sum($"n_p").cast("long").as("n_doc"))
+  }
+
+  /** Per-(conv, ordered norm-key pair) DISTINCT-sentence co-occurrence
+    * counts — the distributed `f_diff_sents_together_count`
+    * (`sentence.py:156-171`): same-sentence candidate pairs, deduped per
+    * sentence, then counted per pair key.
+    */
+  def pairSentenceCounts(mentions: Dataset[Mention],
+                         class1: String, class2: String): DataFrame = {
+    val m = mentions.toDF()
+    val a = m.filter(col("class_id") === class1)
+      .select(col("conv_id"), col("turn_idx"), col("sent_idx"),
+        col("norm").as("norm1"))
+    val b = m.filter(col("class_id") === class2)
+      .select(col("conv_id").as("conv_id2"), col("turn_idx").as("turn_idx2"),
+        col("sent_idx").as("sent_idx2"), col("norm").as("norm2"))
+    a.join(b, col("conv_id") === col("conv_id2") &&
+        col("turn_idx") === col("turn_idx2") &&
+        col("sent_idx") === col("sent_idx2"))
+      .select(col("conv_id"),
+        when(lit(class1) < lit(class2), concat_ws("|", col("norm1"), col("norm2")))
+          .otherwise(concat_ws("|", col("norm2"), col("norm1"))).as("pair_key"),
+        col("turn_idx"), col("sent_idx"))
+      .distinct()
+      .groupBy("conv_id", "pair_key")
+      .agg(count(lit(1)).cast("long").as("n_sents_together"))
   }
 
   def hashFeats(m: Map[String, Double]): Feats = {
