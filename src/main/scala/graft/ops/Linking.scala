@@ -19,8 +19,9 @@ import graft.model._
   *     path at 10^12 turns — AQE splits skewed joins but not skewed
   *     groupBy keys, so the salt is explicit),
   *  3. candidate alias pairs (exact key + synonym heuristics),
-  *  4. DataFrame connected components (alternating small-star/large-star
-  *     min-label propagation, no GraphX/RDD) → canonical node_id.
+  *  4. DataFrame connected components (neighbor-min label propagation
+  *     with path-halving pointer jumps, no GraphX/RDD) → canonical
+  *     node_id.
   */
 object Linking {
 
@@ -91,12 +92,14 @@ object Linking {
   }
 
   /** Connected components over an undirected edge list (src, dst) of Long
-    * node ids: iterative min-label propagation with DataFrame joins only.
-    * Each round every node adopts the minimum component id among itself
-    * and its neighbors; rounds double the propagation radius (large-star
-    * style) so convergence is O(log(diameter)). `localCheckpoint` cuts
-    * lineage growth per round; convergence is detected with a cheap
-    * aggregate on the changed-count.
+    * node ids: iterative NEIGHBOR-MIN label propagation with DataFrame
+    * joins only. Each round every node adopts the minimum component id
+    * among itself and its neighbors, then a PATH-HALVING pointer jump
+    * (comp ← comp-of-comp) doubles the label's hop distance, so
+    * convergence is O(log(diameter)) rounds. (Same asymptotics as the
+    * small-star/large-star formulation; this is the simpler two-join
+    * variant.) `localCheckpoint` cuts lineage growth per round;
+    * convergence is detected with a cheap Σ(comp) aggregate.
     *
     * Returns (node, component) where component = min node id reachable.
     */

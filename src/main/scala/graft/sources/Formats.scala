@@ -81,6 +81,131 @@ object Formats {
     (docs.drop("title_len"), anns)
   }
 
+  /** `MedlineReader` (`readers.py:215-251`): Medline citation XML →
+    * one doc per citation, parts `title` (is_abstract=false) and
+    * optional `abstract` (is_abstract=true, the reference's Part
+    * default). Whole-file scan + JDK DOM parse per file — no external
+    * XML datasource needed; pass a glob like `dir/medline*xml` to mirror
+    * the reference's filename filter.
+    */
+  def fromMedline(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(col("value")).as[String]
+      .mapPartitions { files =>
+        val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        factory.setNamespaceAware(false)
+        val builder = factory.newDocumentBuilder()
+        files.flatMap { xml =>
+          val doc = builder.parse(new org.xml.sax.InputSource(
+            new java.io.StringReader(xml)))
+          val root = doc.getDocumentElement
+          val kids = root.getChildNodes
+          (0 until kids.getLength).iterator
+            .map(kids.item)
+            .collect { case e: org.w3c.dom.Element => e }
+            .flatMap { cit =>
+              // first descendant by tag, like the reference's child.iter()
+              def first(tag: String): Option[String] = {
+                val ns = cit.getElementsByTagName(tag)
+                if (ns.getLength > 0) Option(ns.item(0).getTextContent) else None
+              }
+              (first("PMID"), first("ArticleTitle")) match {
+                case (Some(pmid), Some(title)) =>
+                  Seq((pmid, "title", title, false)) ++
+                    first("AbstractText").map(a => (pmid, "abstract", a, true))
+                case _ => Nil
+              }
+            }
+        }
+      }.toDF("doc_id", "part_id", "text", "is_abstract")
+  }
+
+  /** `VerspoorReader` (`readers.py:323-437`): paragraph `.txt` files named
+    * `{docid}-{partid_prefix}.txt` plus brat-ish `.ann` TSVs with
+    * document-global offsets. Paragraphs (blank-line split) become parts
+    * `{prefix}-p{i+1}`; annotation offsets are re-based into their part
+    * with a WINDOW-CUMSUM of preceding part lengths (+2 per `\n\n`
+    * separator, + 18 per stripped `** IGNORE LINE **` header) — the
+    * reference's running `tot_offset` re-expressed as
+    * `sum(len+2) OVER (PARTITION BY file ORDER BY pos)`. Part selection
+    * mirrors the reference exactly: first part whose successor offset
+    * exceeds the annotation start, else the last part. Offset validation
+    * (`calc_ann_text != text` print at `readers.py:425-427`) becomes a
+    * violations side-output. Returns (docs, anns, violations).
+    */
+  def fromVerspoor(spark: SparkSession, dir: String,
+                   mutClassId: String = "e_mut",
+                   geneClassId: String = "e_gene"): (DataFrame, DataFrame, DataFrame) = {
+    val ignoreLine = "\\*\\* IGNORE LINE \\*\\*\n"
+    val files = spark.read.option("wholetext", "true").text(s"$dir/*.txt")
+      .select(input_file_name().as("path"), col("value"))
+      .select(
+        regexp_replace(element_at(split(col("path"), "/"), -1), "\\.txt$", "").as("stem"),
+        (length(col("value")) - length(regexp_replace(col("value"), ignoreLine, "")))
+          .divide(18).cast("int").as("n_ignored"),
+        regexp_replace(col("value"), ignoreLine, "").as("text"))
+      .select(
+        element_at(split(col("stem"), "-", 2), 1).as("doc_id"),
+        element_at(split(col("stem"), "-", 2), 2).as("prefix"),
+        col("stem"), (col("n_ignored") * 18).as("init_offset"),
+        posexplode(split(col("text"), "\n\n")))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("prefix"), col("stem"), col("init_offset"),
+        col("pos"), col("col").as("text"),
+        concat(col("prefix"), lit("-p"), (col("pos") + 1).cast("string")).as("part_id"),
+        col("prefix").contains("Abstract").as("is_abstract"))
+    // window-cumsum: raw-coordinate start of each (non-empty) part
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stem").orderBy("pos")
+    val parts = files
+      .withColumn("offset_start",
+        col("init_offset") + coalesce(sum(length(col("text")) + 2).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0)))
+      .withColumn("next_offset",
+        lead(col("offset_start"), 1, Long.MaxValue).over(w))
+      .withColumn("part_rank", row_number().over(w))
+    val docs = parts.select(col("doc_id"), col("part_id"), col("text"),
+      col("is_abstract"))
+    val rawAnns = spark.read.option("sep", "\t").csv(s"$dir/*.ann")
+      .toDF("tid", "spec", "ann_text")
+      .withColumn("stem",
+        regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.ann$", ""))
+      .filter(col("tid").startsWith("T"))
+      .select(col("stem"), col("ann_text"),
+        element_at(split(col("spec"), " "), 1).as("entity_type"),
+        element_at(split(col("spec"), " "), 2).cast("long").as("start"),
+        element_at(split(col("spec"), " "), 3).cast("long").as("end"))
+      .filter(col("entity_type").isin("mutation", "gene"))
+    // part pick: FIRST part whose successor's offset exceeds start, else
+    // the last part (`readers.py:404-411`) — ascending offsets make that
+    // the minimum qualifying part_rank
+    val joined = rawAnns.join(parts.select(col("stem").as("stem_p"), col("part_id"),
+        col("doc_id"), col("text").as("part_text"), col("offset_start"),
+        col("next_offset"), col("part_rank")),
+        col("stem") === col("stem_p") && col("next_offset") > col("start"))
+    val pickW = org.apache.spark.sql.expressions.Window
+      .partitionBy("stem", "start", "end", "ann_text", "entity_type")
+      .orderBy("part_rank")
+    val placed = joined.withColumn("rn", row_number().over(pickW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("part_id"),
+        when(col("entity_type") === "mutation", mutClassId)
+          .otherwise(geneClassId).as("class_id"),
+        (col("start") - col("offset_start")).cast("int").as("begin"),
+        col("ann_text"),
+        expr("substring(part_text, cast(start - offset_start + 1 as int), " +
+          "cast(end - start as int))").as("observed"))
+    val anns = placed.filter(col("observed") === col("ann_text"))
+      .select(col("doc_id"), col("part_id"), col("class_id"), col("begin"),
+        col("ann_text").as("text"))
+    val violations = placed.filter(col("observed") =!= col("ann_text"))
+      .select(col("doc_id"), col("part_id"), col("class_id"), col("begin"),
+        col("ann_text").as("expected"), col("observed"))
+    (docs, anns, violations)
+  }
+
   /** Gold-annotation reader equivalent to `AnnJsonAnnotationReader`
     * (`utils/annotation_readers.py:35-205`): JSON docs with an entities
     * array; drops documents not marked complete; VALIDATES offsets

@@ -60,4 +60,58 @@ class EvaluationSpec extends SparkSpec {
     assert(r.precision == (3 + 6 / 2.0) / 10)
     assert(r.recall == (3 + 6 / 2.0) / 11)
   }
+
+  // ---- EntityEvaluator UNKNOWN-penalization modes (evaluators.py:635-673)
+
+  /** Fixture: A matches by norm; B/B' share span+text but have NO norm;
+    * C is gold-only (norm N3); D is pred-only (norm N4).
+    */
+  private def entityFixture = {
+    import spark.implicits._
+    val gold = Seq(
+      ("d1", E1, 0L, 5L, "alpha", Some("N1")),
+      ("d1", E1, 10L, 15L, "beta5", None),
+      ("d1", E1, 20L, 25L, "gamma", Some("N3"))
+    ).toDF("conv_id", "class_id", "begin", "end", "text", "norm")
+    val pred = Seq(
+      ("d1", E1, 0L, 5L, "alpha", Some("N1")),
+      ("d1", E1, 10L, 15L, "beta5", None),
+      ("d1", E1, 30L, 35L, "delta", Some("N4"))
+    ).toDF("conv_id", "class_id", "begin", "end", "text", "norm")
+    (gold, pred)
+  }
+
+  test("entity eval 'no': unknown norms dropped from both sides") {
+    val (g, p) = entityFixture
+    assert(Evaluation.entityCounts(g, p, "no") == Evaluation.Counts(1, 1, 1, 0, 0))
+  }
+
+  test("entity eval 'soft': unknowns match on lowercased text") {
+    val (g, p) = entityFixture
+    assert(Evaluation.entityCounts(g, p, "soft") == Evaluation.Counts(2, 1, 1, 0, 0))
+  }
+
+  test("entity eval 'hard': unknowns never match; gold unknown passed, pred unknown fp") {
+    val (g, p) = entityFixture
+    assert(Evaluation.entityCounts(g, p, "hard") == Evaluation.Counts(1, 2, 1, 0, 0))
+  }
+
+  test("entity eval 'softest'/'agnostic': span-equal unknowns match") {
+    val (g, p) = entityFixture
+    assert(Evaluation.entityCounts(g, p, "softest") == Evaluation.Counts(2, 1, 1, 0, 0))
+    assert(Evaluation.entityCounts(g, p, "agnostic") == Evaluation.Counts(2, 1, 1, 0, 0))
+  }
+
+  test("entity eval accept=exact ignores norms; overlapping accepts intersecting spans") {
+    import spark.implicits._
+    val (g, p) = entityFixture
+    // exact: B matches B' by span even under 'hard'
+    assert(Evaluation.entityCounts(g, p, "hard", accept = "exact") ==
+      Evaluation.Counts(2, 1, 1, 0, 0))
+    // overlapping: a pred at [21,27) accepts gold C at [20,25)
+    val p2 = p.unionByName(Seq(("d1", E1, 21L, 27L, "gamma x", Some("N9")))
+      .toDF("conv_id", "class_id", "begin", "end", "text", "norm"))
+    assert(Evaluation.entityCounts(g, p2, "hard", accept = "overlapping") ==
+      Evaluation.Counts(3, 1, 0, 0, 0))
+  }
 }

@@ -65,6 +65,72 @@ class FormatsSpec extends SparkSpec {
     assert(violations.count() == 1)
   }
 
+  test("Medline XML reader: title + optional abstract parts per citation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("medline")
+    Files.writeString(dir.resolve("medline.test.xml"),
+      """<?xml version="1.0"?>
+        |<MedlineCitationSet>
+        |  <MedlineCitation>
+        |    <PMID>11111</PMID>
+        |    <Article>
+        |      <ArticleTitle>First title here</ArticleTitle>
+        |      <Abstract><AbstractText>The abstract body.</AbstractText></Abstract>
+        |    </Article>
+        |  </MedlineCitation>
+        |  <MedlineCitation>
+        |    <PMID>22222</PMID>
+        |    <Article>
+        |      <ArticleTitle>Second title no abstract</ArticleTitle>
+        |    </Article>
+        |  </MedlineCitation>
+        |</MedlineCitationSet>""".stripMargin)
+    val got = Formats.fromMedline(spark, s"$dir/medline*xml")
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(got == Set(
+      ("11111", "title", "First title here", false),
+      ("11111", "abstract", "The abstract body.", true),
+      ("22222", "title", "Second title no abstract", false)))
+  }
+
+  test("Verspoor reader: paragraph parts + window-cumsum offset re-basing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("verspoor")
+    // raw coords: 18 (ignore line) + "First paragraph here." [18,39)
+    //             + "\n\n" → "Second part text." starts at raw 41
+    Files.writeString(dir.resolve("777-1-Body.txt"),
+      "** IGNORE LINE **\nFirst paragraph here.\n\nSecond part text.\n\n")
+    Files.writeString(dir.resolve("777-1-Body.ann"),
+      "T1\tgene 48 52\tpart\n" +       // 'part' in p2 → begin 7
+      "T2\tmutation 18 23\tFirst\n" +  // 'First' in p1 → begin 0
+      "T3\tgene 18 23\tWrong\n")       // offset violation
+    val (docs, anns, violations) = Formats.fromVerspoor(spark, dir.toString)
+    val gotDocs = docs.as[(String, String, String, Boolean)].collect().toSet
+    assert(gotDocs == Set(
+      ("777", "1-Body-p1", "First paragraph here.", false),
+      ("777", "1-Body-p2", "Second part text.", false)))
+    val gotAnns = anns.as[(String, String, String, Int, String)].collect().toSet
+    assert(gotAnns == Set(
+      ("777", "1-Body-p2", "e_gene", 7, "part"),
+      ("777", "1-Body-p1", "e_mut", 0, "First")))
+    val v = violations.collect()
+    assert(v.length == 1 && v.head.getAs[String]("observed") == "First"
+      && v.head.getAs[String]("expected") == "Wrong")
+  }
+
+  test("Verspoor reader: Abstract parts flagged, last-part fallback for tail anns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("verspoor2")
+    // no ignore line: p1 at raw 0 (len 5), p2 'tail text' at raw 7
+    Files.writeString(dir.resolve("9-2-Abstract.txt"), "intro\n\ntail text")
+    Files.writeString(dir.resolve("9-2-Abstract.ann"),
+      "T1\tgene 12 16\ttext\n")  // beyond every successor offset → last part
+    val (docs, anns, _) = Formats.fromVerspoor(spark, dir.toString)
+    assert(docs.filter($"is_abstract").count() == 2)
+    val got = anns.as[(String, String, String, Int, String)].collect().toSet
+    assert(got == Set(("9", "2-Abstract-p2", "e_gene", 5, "text")))
+  }
+
   test("mergeAnnotators: union + shortest resolves overlaps") {
     import spark.implicits._
     val a = Seq(("d1", "e_x", 0, "alpha beta"), ("d1", "e_x", 20, "gamma"))
