@@ -11,8 +11,8 @@ import graft.nlp.{DepGraph, TextOps}
   * Physical shape (designed for 10^12 turns / 1000 executors):
   *
   *   scan transcripts (partition-pruned, columns {conv_id,turn_idx,text})
-  *     → groupByKey(conv_id)                  ← the ONE shuffle
-  *     → flatMapGroups: per conversation, turns sorted by turn_idx:
+  *     → repartition(N, conv_id) + sortWithinPartitions   ← the ONE shuffle
+  *     → mapPartitions, streaming one conversation at a time:
   *         segment → tag (broadcast CRF/gazetteer) → doc-level counts
   *         (conversation == document, so `sentence.py:140-171`'s
   *         per-document aggregations are group-LOCAL — zero extra
@@ -305,7 +305,23 @@ object KgPipeline {
     }
   }
 
-  /** Distributed form: one shuffle on conv_id, then flatMapGroups. */
+  /** Distributed form: ONE shuffle on conv_id, then per-conversation
+    * map-local processing.
+    *
+    * The shuffle is an EXPLICIT `repartition(n, conv_id)` +
+    * `sortWithinPartitions(conv_id, turn_idx)` + streaming group iterator
+    * rather than `groupByKey.flatMapGroups`, for a reason that matters at
+    * every scale: this stage is CPU-heavy and byte-light (a conversation
+    * of transcript text costs ~1ms of feature/scoring CPU but only ~KBs
+    * of shuffle), and AQE's size-based partition coalescing would fold a
+    * few-MB shuffle into 1-2 tasks, serializing tens of seconds of CPU
+    * (measured: 13s single-task vs <2s at 32; at 100 TB the same
+    * mis-sizing shows up as thousand-core clusters idling on a handful of
+    * straggler tasks). A user-specified repartition count is exempt from
+    * AQE coalescing, and the within-partition sort gives O(conversation)
+    * streaming memory exactly like flatMapGroups' internal sort-based
+    * grouping.
+    */
   def triples(turns: Dataset[Turn], cfg: Config,
               crfModel: Option[Crf.Model],
               gaz: Map[String, String],
@@ -315,26 +331,47 @@ object KgPipeline {
     val bcCrf = spark.sparkContext.broadcast(crfModel)
     val bcGaz = spark.sparkContext.broadcast(gaz)
     val bcLin = spark.sparkContext.broadcast(scorer)
-    turns.groupByKey(_.conv_id).flatMapGroups { (convId, it) =>
-      val tagger: IndexedSeq[Tok] => Seq[(String, Int, Int)] = bcCrf.value match {
-        case Some(m) => toks => {
-          if (toks.isEmpty) Nil
-          else {
-            val feats = Crf.tokenFeatures(toks).map(fs => "__bias__" :: fs)
-            val pred = Crf.viterbi(m, feats)
-            graft.nlp.Labeling.decode(toks, pred, Seq.fill(toks.length)(1.0)).map { d =>
-              val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
-              val cls = if (firstLabel.length > 2) firstLabel.substring(2) else firstLabel
-              (cls, d.begin, d.end)
+    val nParts = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    turns
+      .repartition(nParts, org.apache.spark.sql.functions.col("conv_id"))
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"))
+      .mapPartitions { (it: Iterator[Turn]) =>
+        val tagger: IndexedSeq[Tok] => Seq[(String, Int, Int)] = bcCrf.value match {
+          case Some(m) => toks => {
+            if (toks.isEmpty) Nil
+            else {
+              val feats = Crf.tokenFeatures(toks).map(fs => "__bias__" :: fs)
+              val pred = Crf.viterbi(m, feats)
+              graft.nlp.Labeling.decode(toks, pred, Seq.fill(toks.length)(1.0)).map { d =>
+                val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
+                val cls = if (firstLabel.length > 2) firstLabel.substring(2) else firstLabel
+                (cls, d.begin, d.end)
+              }
             }
           }
+          case None => toks => {
+            val g = bcGaz.value
+            toks.flatMap(t => g.get(t.word.toLowerCase).map(cls => (cls, t.begin, t.end)))
+          }
         }
-        case None => toks => {
-          val g = bcGaz.value
-          toks.flatMap(t => g.get(t.word.toLowerCase).map(cls => (cls, t.begin, t.end)))
+        // stream maximal runs of one conv_id (partition sorted by conv_id)
+        val rows = it.buffered
+        val groups = new Iterator[Seq[Turn]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Seq[Turn] = {
+            val cid = rows.head.conv_id
+            val buf = Vector.newBuilder[Turn]
+            while (rows.hasNext && rows.head.conv_id == cid)
+              buf += rows.next()
+            buf.result()
+          }
+        }
+        groups.flatMap { ts =>
+          processConversation(ts.head.conv_id, ts, cfg, tagger, bcLin.value).iterator
         }
       }
-      processConversation(convId, it.toSeq, cfg, tagger, bcLin.value).iterator
-    }
   }
 }

@@ -50,9 +50,22 @@ object RelationScoring {
 
   final case class Feats(idx: Array[Int], value: Array[Double])
 
-  private def h(s: String): Int = {
-    val x = graft.nlp.Hashes.fnv1a64(s)
-    ((x % Dims) + Dims).toInt % Dims
+  /** FNV-1a over the chars' low bytes — identical to the UTF-8-byte FNV
+    * on ASCII names (all generated names are ASCII except embedded corpus
+    * words, which fold consistently on both the train and predict path —
+    * consistency, not a specific value, is the hashing-trick contract).
+    * Char-wise avoids the String.getBytes array allocation per feature
+    * name, the single largest allocation source in the scoring hot path.
+    */
+  private def h(s: CharSequence): Int = {
+    var hh = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      hh ^= (s.charAt(i) & 0xffL)
+      hh *= 0x100000001b3L
+      i += 1
+    }
+    ((hh % Dims) + Dims).toInt % Dims
   }
 
   /** Per-edge context beyond the sentence: mentions of the edge's
@@ -92,7 +105,8 @@ object RelationScoring {
       sameSentence: Boolean, sentDist: Int,
       ctx: EdgeCtx): Map[String, Double] = {
     val out = scala.collection.mutable.HashMap.empty[String, Double]
-    enumerate(prep, m1, m2, sameSentence, sentDist, ctx) { (f, v) =>
+    enumerate(prep, m1, m2, sameSentence, sentDist, ctx) { (cs, v) =>
+      val f = cs.toString
       out.update(f, out.getOrElse(f, 0.0) + v)
     }
     out.toMap
@@ -145,6 +159,11 @@ object RelationScoring {
       if (stemCache(i) == null) stemCache(i) = Porter.stem(toks(i).word)
       stemCache(i)
     }
+    private val lowerCache = new Array[String](toks.length)
+    def lower(i: Int): String = {
+      if (lowerCache(i) == null) lowerCache(i) = toks(i).word.toLowerCase
+      lowerCache(i)
+    }
     lazy val negated: Boolean = DepGraph.isNegated(toks)
     lazy val mainVerbStems: List[String] = {
       val rootIdx = depth.indices.find(depth(_) == 0).getOrElse(0)
@@ -158,6 +177,61 @@ object RelationScoring {
     private val pathCache = scala.collection.mutable.HashMap.empty[(Int, Int), Vector[Int]]
     def path(a: Int, b: Int): Vector[Int] =
       pathCache.getOrElseUpdate((a, b), DepGraph.shortestPath(adj, a, b))
+
+    /** children(i) = tokens whose head is i (excluding the root's
+      * self-loop) — precomputed once so chain walks don't scan the heads
+      * array per visit.
+      */
+    lazy val childrenOf: Array[Array[Int]] = {
+      val counts = new Array[Int](heads.length)
+      var i = 0
+      while (i < heads.length) {
+        if (heads(i) != i) counts(heads(i)) += 1
+        i += 1
+      }
+      val out = Array.tabulate(heads.length)(j => new Array[Int](counts(j)))
+      val fill = new Array[Int](heads.length)
+      i = 0
+      while (i < heads.length) {
+        if (heads(i) != i) {
+          val p = heads(i)
+          out(p)(fill(p)) = i
+          fill(p) += 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** One step of an entity-head dependency chain walk
+      * (`entityhead.py:264-281`): the visited token, remaining depth,
+      * direction (true = -fw via the head, false = -rv via a child) and
+      * the chain string accumulated BEFORE this step. Pair-independent —
+      * cached per start token and replayed per candidate pair.
+      */
+    final case class ChainVisit(token: Int, depth: Int, fw: Boolean, chain: String)
+    private val chainCache = scala.collection.mutable.HashMap.empty[Int, Array[ChainVisit]]
+    def chainVisitsOf(start: Int): Array[ChainVisit] =
+      chainCache.getOrElseUpdate(start, {
+        val out = scala.collection.mutable.ArrayBuffer.empty[ChainVisit]
+        def walk(t: Int, chain: String, depthLeft: Int): Unit = {
+          if (depthLeft == 0) return
+          val parent = if (t < heads.length) heads(t) else t
+          if (parent != t) {
+            out += ChainVisit(parent, depthLeft, fw = true, chain)
+            walk(parent, chain + "-fw", depthLeft - 1)
+          }
+          val kids = if (t < childrenOf.length) childrenOf(t) else Array.emptyIntArray
+          var ci = 0
+          while (ci < kids.length) {
+            out += ChainVisit(kids(ci), depthLeft, fw = false, chain)
+            walk(kids(ci), chain + "-rv", depthLeft - 1)
+            ci += 1
+          }
+        }
+        walk(start, "", 3)
+        out.toArray
+      })
 
     private def pack(u: Int, v: Int): Long =
       (math.min(u, v).toLong << 32) | math.max(u, v).toLong
@@ -202,29 +276,54 @@ object RelationScoring {
       prep: SentencePrep,
       m1: Mention, m2: Mention,
       sameSentence: Boolean, sentDist: Int,
-      ctx: EdgeCtx)(add0: (String, Double) => Unit): Unit = {
+      ctx: EdgeCtx)(add0: (CharSequence, Double) => Unit): Unit = {
 
     val toks = prep.toks
     def add(f: String, v: Double = 1.0): Unit = add0(f, v)
+    // zero-materialization name assembly: the scoring path hashes the
+    // CharSequence directly, so multi-part names never become Strings —
+    // the single reusable builder removes the dominant allocation source
+    // of the 32-thread hot path (bandwidth-stall-bound on this box)
+    val nb = new java.lang.StringBuilder(96)
+    def add2(a: String, b: String, v: Double = 1.0): Unit = {
+      nb.setLength(0); nb.append(a).append(b); add0(nb, v)
+    }
+    def add3(a: String, b: String, c: String): Unit = {
+      nb.setLength(0); nb.append(a).append(b).append(c); add0(nb, 1.0)
+    }
 
     val h1 = prep.head(m1.begin, m1.end)
     val h2 = prep.head(m2.begin, m2.end)
 
     def inSpan(t: Tok, m: Mention): Boolean = t.begin >= m.begin && t.end <= m.end
+    // per-pair caches: chains/paths/BOW revisit the same tokens many times
+    val maskedCache = new Array[String](toks.length)
     def masked(i: Int): String = {
-      val t = toks(i)
-      if (inSpan(t, m1)) m1.class_id
-      else if (inSpan(t, m2)) m2.class_id
-      else prep.maskedBase(i)
+      var v = maskedCache(i)
+      if (v == null) {
+        val t = toks(i)
+        v = if (inSpan(t, m1)) m1.class_id
+        else if (inSpan(t, m2)) m2.class_id
+        else prep.maskedBase(i)
+        maskedCache(i) = v
+      }
+      v
     }
     /** ann class of token i: the edge's entities first, then any other
       * sentence mention containing it (masked_text / ann_type semantics).
       */
+    val annCache = new Array[String](toks.length)
+    val annNone = "\u0000none"
     def annClass(i: Int): String = {
-      val t = toks(i)
-      if (inSpan(t, m1)) m1.class_id
-      else if (inSpan(t, m2)) m2.class_id
-      else ctx.sentMentions.find(m => inSpan(t, m)).map(_.class_id).orNull
+      var v = annCache(i)
+      if (v == null) {
+        val t = toks(i)
+        v = if (inSpan(t, m1)) m1.class_id
+        else if (inSpan(t, m2)) m2.class_id
+        else ctx.sentMentions.find(m => inSpan(t, m)).map(_.class_id).getOrElse(annNone)
+        annCache(i) = v
+      }
+      if (v eq annNone) null else v
     }
 
     // token index bounds of each mention (first/last token within span)
@@ -266,8 +365,8 @@ object RelationScoring {
     // (`sentence.py:111-113`)
     var ti = 0
     while (ti < toks.length) {
-      add(s"f_bow=${masked(ti)}")
-      add(s"f_pos=${prep.pos(ti)}")
+      add2("f_bow=", masked(ti))
+      add2("f_pos=", prep.pos(ti))
       ti += 1
     }
     add("f_tokens_count", toks.length.toDouble)
@@ -279,12 +378,12 @@ object RelationScoring {
       (lo + 1 until hi)
     } else 0 until 0
     add("n_between", between.size.toDouble)
-    between.foreach { i => add(s"bow_bet=${masked(i)}") }
+    between.foreach { i => add2("bow_bet=", masked(i)) }
 
     // sentence negation + main-verb lemmas (`sentence.py:127-138`)
     if (prep.negated) add("sent_negated")
     if (prep.mainVerbStems.isEmpty) add("main_verb=NO_MAIN_VERB")
-    else prep.mainVerbStems.foreach { v => add(s"main_verb=$v") }
+    else prep.mainVerbStems.foreach { v => add2("main_verb=", v) }
 
     // DOCUMENT-level (`sentence.py:140-171`): per-conversation norm-key
     // frequency of each entity, distinct-sentence co-occurrence count
@@ -304,8 +403,8 @@ object RelationScoring {
     // stem/POS + case/digit/punct flags and char 2/3-grams
     def headSurface(prefix: String, hi: Int): Unit = if (hi >= 0) {
       val w = toks(hi).word
-      add(s"${prefix}_stem=${prep.stem(hi)}")
-      add(s"${prefix}_pos=${prep.pos(hi)}")
+      add3(prefix, "_stem=", prep.stem(hi))
+      add3(prefix, "_pos=", prep.pos(hi))
       if (w.nonEmpty && w.head.isUpper) add(s"${prefix}_cap")
       if (w.exists(_.isDigit)) add(s"${prefix}_digits")
       if (w.contains('-') || w.contains('/')) add(s"${prefix}_punct")
@@ -329,9 +428,9 @@ object RelationScoring {
       if (first >= 0) {
         var i = first
         while (i <= last) {
-          add(s"${prefix}_txt=${toks(i).word.toLowerCase}")
-          add(s"${prefix}_pos=${prep.pos(i)}")
-          add(s"${prefix}_stem=${prep.stem(i)}")
+          add3(prefix, "_txt=", prep.lower(i))
+          add3(prefix, "_pos=", prep.pos(i))
+          add3(prefix, "_stem=", prep.stem(i))
           i += 1
         }
       }
@@ -342,17 +441,20 @@ object RelationScoring {
     // between the heads, directional (fwd when h1 < h2, bkd otherwise)
     // plus the undirected variants ================================
     if (h1 >= 0 && h2 >= 0) {
-      val dir = if (h1 < h2) "fwd" else "bkd"
+      val pBow = if (h1 < h2) "it_fwd_bow=" else "it_bkd_bow="
+      val pMask = if (h1 < h2) "it_fwd_masked=" else "it_bkd_masked="
+      val pStem = if (h1 < h2) "it_fwd_stem=" else "it_bkd_stem="
+      val pPos = if (h1 < h2) "it_fwd_pos=" else "it_bkd_pos="
       between.foreach { i =>
-        val w = toks(i).word.toLowerCase
-        add(s"it_${dir}_bow=$w")
-        add(s"it_${dir}_masked=${masked(i)}")
-        add(s"it_${dir}_stem=${prep.stem(i)}")
-        add(s"it_${dir}_pos=${prep.pos(i)}")
-        add(s"it_bow=$w")
-        add(s"it_masked=${masked(i)}")
-        add(s"it_stem=${prep.stem(i)}")
-        add(s"it_pos=${prep.pos(i)}")
+        val w = prep.lower(i)
+        add2(pBow, w)
+        add2(pMask, masked(i))
+        add2(pStem, prep.stem(i))
+        add2(pPos, prep.pos(i))
+        add2("it_bow=", w)
+        add2("it_masked=", masked(i))
+        add2("it_stem=", prep.stem(i))
+        add2("it_pos=", prep.pos(i))
       }
     }
 
@@ -371,17 +473,17 @@ object RelationScoring {
       while (i < toks.length) {
         val w = toks(i).word
         val isPunct = prep.pos(i) == "PUNCT"
-        if (!isPunct && !stopWords.contains(w.toLowerCase)) {
-          add(s"bow_text=$w")
+        if (!isPunct && !stopWords.contains(prep.lower(i))) {
+          add2("bow_text=", w)
           if (annClass(i) != null)
             neCounts.update(w, neCounts.getOrElse(w, 0) + 1)
         }
         if (!isPunct && !stopWords.contains(prep.stem(i)))
-          add(s"bow_stem=${prep.stem(i)}")
+          add2("bow_stem=", prep.stem(i))
         i += 1
       }
       neCounts.toSeq.sortBy(_._1).foreach { case (w, c) =>
-        add(s"ne_bow=$w", c.toDouble)
+        add2("ne_bow=", w, c.toDouble)
       }
     }
 
@@ -394,84 +496,111 @@ object RelationScoring {
     def pathFeatures(name: String, path: IndexedSeq[Int], withEdges: Boolean): Unit = {
       if (path.length < 2) return
       val last = path.length - 1
-      def tokStr(k: Int, render: Int => String): String =
-        if (k == 0) "[S" else if (k == last) "T]" else render(path(k))
+      // prerender every per-node string ONCE (the n-gram assembly below
+      // touches each node up to 4× per kind on long linear paths)
+      val bowR = new Array[String](path.length)
+      val posR = new Array[String](path.length)
+      var k = 0
+      while (k <= last) {
+        val i = path(k)
+        bowR(k) = if (k == 0) "[S" else if (k == last) "T]" else masked(i)
+        posR(k) = if (k == 0) "[S" else if (k == last) "T]" else prep.pos(i)
+        k += 1
+      }
       // token-only n-grams: n=1 over middle, n>1 over all nodes
-      def tokenNGrams(kind: String, render: Int => String): Unit = {
+      def tokenNGrams(kind: String, rendered: Array[String],
+                      renderMid: Int => String): Unit = {
+        val g1 = name + "_" + kind + "_1g="
         var k = 1
-        while (k < last) { add(s"${name}_${kind}_1g=${render(path(k))}"); k += 1 }
+        while (k < last) { add2(g1, renderMid(path(k))); k += 1 }
         var n = 2
         while (n <= 4) {
+          val gn = name + "_" + kind + "_" + n + "g="
           var s = 0
           while (s + n <= path.length) {
-            val sb = new java.lang.StringBuilder
+            nb.setLength(0); nb.append(gn)
             var j = 0
             while (j < n) {
-              if (j > 0) sb.append('~')
-              sb.append(tokStr(s + j, render))
+              if (j > 0) nb.append('~')
+              nb.append(rendered(s + j))
               j += 1
             }
-            add(s"${name}_${kind}_${n}g=$sb")
+            add0(nb, 1.0)
             s += 1
           }
           n += 1
         }
       }
-      tokenNGrams("bow", i => masked(i))
-      tokenNGrams("pos", i => prep.pos(i))
+      tokenNGrams("bow", bowR, masked)
+      tokenNGrams("pos", posR, prep.pos)
       // counts + negation over the middle tokens
       val middle = (1 until last).map(path(_))
-      add(s"${name}_tokens_count", middle.size.toDouble)
-      add(s"${name}_tokens_count_nopunct",
+      add(name + "_tokens_count", middle.size.toDouble)
+      add(name + "_tokens_count_nopunct",
         middle.count(i => prep.pos(i) != "PUNCT").toDouble)
       if (DepGraph.isNegated(middle.map(toks(_))))
-        add(s"${name}_is_negated")
+        add(name + "_is_negated")
       if (withEdges) {
         // edge n-grams over source+middle steps (PathNode.edge_type)
-        val steps = (0 until last).map { k =>
-          (prep.edgeLabel(path(k), path(k + 1)), prep.edgeDir(path(k), path(k + 1)))
+        val undR = new Array[String](last)
+        val dirR = new Array[String](last)
+        k = 0
+        while (k < last) {
+          val lbl = prep.edgeLabel(path(k), path(k + 1))
+          undR(k) = lbl
+          dirR(k) = lbl + "-" + prep.edgeDir(path(k), path(k + 1))
+          k += 1
         }
         var n = 1
         while (n <= 4) {
+          val gu = name + "_undir_" + n + "g="
+          val gd = name + "_dir_" + n + "g="
           var s = 0
-          while (s + n <= steps.length) {
-            val und = new java.lang.StringBuilder
-            val dir = new java.lang.StringBuilder
+          while (s + n <= last) {
+            nb.setLength(0); nb.append(gu)
             var j = 0
             while (j < n) {
-              if (j > 0) { und.append('~'); dir.append('~') }
-              und.append(steps(s + j)._1)
-              dir.append(steps(s + j)._1).append('-').append(steps(s + j)._2)
+              if (j > 0) nb.append('~')
+              nb.append(undR(s + j))
               j += 1
             }
-            add(s"${name}_undir_${n}g=$und")
-            add(s"${name}_dir_${n}g=$dir")
+            add0(nb, 1.0)
+            nb.setLength(0); nb.append(gd)
+            j = 0
+            while (j < n) {
+              if (j > 0) nb.append('~')
+              nb.append(dirR(s + j))
+              j += 1
+            }
+            add0(nb, 1.0)
             s += 1
           }
           n += 1
         }
         // full n-grams: token + directed edge per node (n=1 over
         // source+middle, n>1 over all nodes)
-        def fullStr(k: Int): String = {
-          val t = tokStr(k, i => masked(i))
-          if (k < last)
-            t + " " + steps(k)._1 + "-" + steps(k)._2
-          else t
+        val fullR = new Array[String](path.length)
+        k = 0
+        while (k <= last) {
+          fullR(k) = if (k < last) bowR(k) + " " + dirR(k) else bowR(k)
+          k += 1
         }
-        var k = 0
-        while (k < last) { add(s"${name}_full_1g=${fullStr(k)}"); k += 1 }
+        val f1 = name + "_full_1g="
+        k = 0
+        while (k < last) { add2(f1, fullR(k)); k += 1 }
         n = 2
         while (n <= 4) {
+          val gn = name + "_full_" + n + "g="
           var s = 0
           while (s + n <= path.length) {
-            val sb = new java.lang.StringBuilder
+            nb.setLength(0); nb.append(gn)
             var j = 0
             while (j < n) {
-              if (j > 0) sb.append('~')
-              sb.append(fullStr(s + j))
+              if (j > 0) nb.append('~')
+              nb.append(fullR(s + j))
               j += 1
             }
-            add(s"${name}_full_${n}g=$sb")
+            add0(nb, 1.0)
             s += 1
           }
           n += 1
@@ -508,39 +637,42 @@ object RelationScoring {
     // visited token contributes linear-order features (txt/pos/masked/
     // ann_type). Dep labels are the constant "dep" in our unlabeled
     // parser, so the chain signal is direction tags + token features.
-    def linearOrder(prefix: String, i: Int): Unit = {
-      add(s"${prefix}txt=${toks(i).word.toLowerCase}")
-      add(s"${prefix}pos=${prep.pos(i)}")
-      add(s"${prefix}masked=${masked(i)}")
-      val ac = annClass(i)
-      if (ac != null) {
-        add(s"${prefix}ann_entity")
-        add(s"${prefix}ann_type=$ac")
-      }
-    }
-    def chains(prefix: String, t: Int, chain: String, depthLeft: Int): Unit = {
-      if (depthLeft == 0 || t < 0) return
-      val ds = s"dist_${depthLeft}_"
-      val parent = if (t < prep.heads.length) prep.heads(t) else t
-      if (parent != t) {
-        add(s"${prefix}dep_${ds}from_dep")
-        add(s"${prefix}chain_dep_$ds$chain-fw_dep")
-        linearOrder(s"$prefix$ds", parent)
-        chains(prefix, parent, s"$chain-fw", depthLeft - 1)
-      }
-      var c = 0
-      while (c < prep.heads.length) {
-        if (c != t && prep.heads(c) == t) {
-          add(s"${prefix}dep_${ds}to_dep")
-          add(s"${prefix}chain_dep_$ds$chain-rv_dep")
-          linearOrder(s"$prefix$ds", c)
-          chains(prefix, c, s"$chain-rv", depthLeft - 1)
+    // the walk itself (pair-independent tree structure) is cached per
+    // start token in SentencePrep and replayed here as a flat loop —
+    // per-visit work is a handful of two-part concats (the walk revisits
+    // O(fanout²) nodes on flat parses, so per-visit cost is the hot spot)
+    def chainsFor(prefix: String, start: Int): Unit = {
+      if (start < 0) return
+      val depFrom = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_from_dep")
+      val depTo = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_to_dep")
+      val chainBase = Array.tabulate(4)(d => prefix + "chain_dep_dist_" + d + "_")
+      val loBase = Array.tabulate(4)(d => prefix + "dist_" + d + "_")
+      val visits = prep.chainVisitsOf(start)
+      var vi = 0
+      while (vi < visits.length) {
+        val v = visits(vi)
+        if (v.fw) {
+          add(depFrom(v.depth))
+          add3(chainBase(v.depth), v.chain, "-fw_dep")
+        } else {
+          add(depTo(v.depth))
+          add3(chainBase(v.depth), v.chain, "-rv_dep")
         }
-        c += 1
+        val base = loBase(v.depth)
+        val i = v.token
+        add3(base, "txt=", prep.lower(i))
+        add3(base, "pos=", prep.pos(i))
+        add3(base, "masked=", masked(i))
+        val ac = annClass(i)
+        if (ac != null) {
+          add2(base, "ann_entity")
+          add3(base, "ann_type=", ac)
+        }
+        vi += 1
       }
     }
-    if (h1 >= 0) chains("e1_", h1, "", 3)
-    if (h2 >= 0) chains("e2_", h2, "", 3)
+    chainsFor("e1_", h1)
+    chainsFor("e2_", h2)
   }
 
   // ==== Distributed doc-level count aggregations (declarative route) ====
