@@ -79,6 +79,20 @@ object EdgeGen {
         (col("turn2") - col("turn1")).cast("int").as("turn_dist"),
         (col("n1") * col("n2")).as("n_pairs"))
   }
+
+  /** `CombinatorEdgeGenerator` (`edges.py:86-100`): the union of several
+    * edge generators' outputs. The reference appends into the shared
+    * mutable edge list per part (`rewrite_edges=False` accumulates);
+    * relationally that is unionByName + dedup on the edge identity —
+    * the same candidate produced by two generators (e.g. overlapping
+    * distance settings) must count once.
+    */
+  def combine(edgeSets: Seq[Dataset[EdgeRow]]): Dataset[EdgeRow] = {
+    require(edgeSets.nonEmpty)
+    edgeSets.reduce(_ unionByName _)
+      .dropDuplicates("conv_id", "rel_type", "turn1", "turn2",
+        "sent1", "sent2", "begin1", "begin2")
+  }
 }
 
 object Triples {

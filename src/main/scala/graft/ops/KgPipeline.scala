@@ -174,7 +174,7 @@ object KgPipeline {
             else cfg.window + math.abs(c2.turnIdx - c1.turnIdx)
           // combined context hoisted per sentence PAIR: token/dep work is
           // mention-independent, only the m2-side offsets shift per pair
-          lazy val cross = combined(c1.toks, c2.toks)
+          lazy val cross = combined(c1.toks, c2.toks, c1.prep.heads, c2.prep.heads)
           lazy val crossPrep = new RelationScoring.SentencePrep(
             cross.toks, cross.heads, cross.adj, cross.depth, cross.extraLabels)
           lazy val crossMentions: Seq[Mention] =
@@ -256,15 +256,21 @@ object KgPipeline {
       adj: Array[List[Int]], depth: Array[Int],
       extraLabels: Map[Long, String], delta: Int)
 
-  def combined(toks1: IndexedSeq[Tok], toks2: IndexedSeq[Tok]): CombinedCtx = {
+  def combined(toks1: IndexedSeq[Tok], toks2: IndexedSeq[Tok]): CombinedCtx =
+    combined(toks1, toks2, DepGraph.heads(toks1), DepGraph.heads(toks2))
+
+  /** Heads-reusing form: the pipeline passes each sentence's memoized
+    * head assignment so per-sentence parsing never repeats per sentence
+    * PAIR.
+    */
+  def combined(toks1: IndexedSeq[Tok], toks2: IndexedSeq[Tok],
+               hs1: Array[Int], hs2: Array[Int]): CombinedCtx = {
     val delta = (if (toks1.nonEmpty) toks1.last.end + 1 else 0) -
       (if (toks2.nonEmpty) toks2.head.begin else 0)
     val shifted = toks2.zipWithIndex.map { case (t, i) =>
       Tok(toks1.length + i, t.word, t.begin + delta, t.end + delta)
     }
     val all = toks1 ++ shifted
-    val hs1 = DepGraph.heads(toks1)
-    val hs2 = DepGraph.heads(toks2)
     val heads = Array.tabulate(all.length) { i =>
       if (i < toks1.length) hs1(i) else hs2(i - toks1.length) + toks1.length
     }

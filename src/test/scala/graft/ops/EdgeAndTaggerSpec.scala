@@ -56,6 +56,16 @@ class EdgeAndTaggerSpec extends SparkSpec {
     e.foreach { r => assert(r.begin1 <= r.begin2 && r.sent1 <= r.sent2) }
   }
 
+  test("combinator edge generator unions and dedups (edges.py:86-100)") {
+    // distance 0 (2 edges) ∪ distance 1 (3) ∪ distance ≤1-any-overlap:
+    // combining d0 with d0+d1 must not double-count the d0 edges
+    val d0 = EdgeGen.sentenceDistance(mentionsDs, E1, E2, R1, Some(0))
+    val d1 = EdgeGen.sentenceDistance(mentionsDs, E1, E2, R1, Some(1))
+    assert(EdgeGen.combine(Seq(d0, d1)).count() == 5)
+    assert(EdgeGen.combine(Seq(d0, d0, d1)).count() == 5)
+    assert(EdgeGen.combine(Seq(d0)).count() == 2)
+  }
+
   // canonical triple key, Relation.map semantics (data.py:1997-2015)
   private def tripleKey(relType: String, c1: String, t1: String, c2: String, t2: String): String = {
     val e1 = s"$c1|${t1.toLowerCase}"
