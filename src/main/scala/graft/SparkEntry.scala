@@ -124,6 +124,14 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nBits = 6, tables = 8)
     }),
+    // honest IVF params (half the cells probed): approximate by contract,
+    // rows-only driver check; exactness at nProbe==nlist and recall at
+    // partial probe are ScalaTest-covered (CurationSpec)
+    "ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nProbe = 8)
+    }),
     "dd_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4)),

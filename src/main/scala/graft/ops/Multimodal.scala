@@ -77,4 +77,61 @@ object Multimodal {
       }
       .toDF("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "feat")
   }
+
+  /** Batched resize stage. STUB transform: a real codec would decode,
+    * rescale and re-encode; the stub emits a deterministic byte
+    * subsample proportional to the target area so downstream size
+    * accounting is testable. The Spark contract — narrow mapPartitions
+    * batch, per-partition codec init seam, (id, type, dims, payload)
+    * schema — is the real one a codec drops into.
+    */
+  def resize(withBytes: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val (w, h, _) = StubCodec.decode(bytes)
+          // keep ceil(n * targetArea / srcArea) bytes, evenly strided
+          val srcArea = math.max(1L, w.toLong * h)
+          val keep = math.max(1L,
+            (bytes.length.toLong * targetW * targetH + srcArea - 1) / srcArea)
+          val n = math.min(bytes.length.toLong, keep).toInt
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            out(i) = bytes(((i.toLong * bytes.length) / n).toInt)
+            i += 1
+          }
+          (id, mt, targetW, targetH, out)
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height", "payload")
+  }
+
+  /** Frame sampling for video payloads: the decode's n_frames partitions
+    * the payload into equal frame slices; every `stride`-th frame is
+    * emitted as its own row — the explode-shaped op a training pipeline
+    * feeds to per-frame feature extraction. STUB slicing (a real codec
+    * seeks keyframes); the one-row-per-frame contract is real.
+    */
+  def sampleFrames(withBytes: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1)
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, mt, bytes) =>
+        val (_, _, nFrames) = StubCodec.decode(bytes)
+        val frameLen = math.max(1, bytes.length / math.max(1, nFrames))
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = math.min(bytes.length, f * frameLen)
+          val until = if (f == nFrames - 1) bytes.length
+            else math.min(bytes.length, from + frameLen)
+          (id, mt, f, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+      .toDF("doc_id", "media_type", "frame_idx", "frame_bytes")
+  }
 }

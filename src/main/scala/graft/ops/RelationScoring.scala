@@ -421,21 +421,28 @@ object RelationScoring {
     headSurface("h1", h1)
     headSurface("h2", h2)
 
-    // per-token surface features of the entities' own tokens
-    // (TokenFeatureGenerator.token_features via the chain generator,
-    // `entityhead.py:252-260`, `relations/__init__.py:98-170` subset)
-    def entityTokenFeats(prefix: String, first: Int, last: Int): Unit =
+    // per-token surface features of the entities' own tokens —
+    // TokenFeatureGenerator.token_features (`relations/__init__.py:127-170`)
+    // via the chain generator (`entityhead.py:252-260`): txt, pos, masked
+    // text, stem of the masked text (the reference stems the mask — its
+    // own TODO notes the oddity; mirrored), and annotated_types = the
+    // token's entity class + entityK_class marker.
+    def entityTokenFeats(prefix: String, first: Int, last: Int,
+                         entMarker: String, cls: String): Unit =
       if (first >= 0) {
         var i = first
         while (i <= last) {
           add3(prefix, "_txt=", prep.lower(i))
           add3(prefix, "_pos=", prep.pos(i))
-          add3(prefix, "_stem=", prep.stem(i))
+          add3(prefix, "_masked=", masked(i))
+          add3(prefix, "_stem_masked=", Porter.stem(masked(i)))
+          add3(prefix, "_ann=", cls)
+          add3(prefix, "_ann=", entMarker)
           i += 1
         }
       }
-    entityTokenFeats("e1", e1First, e1Last)
-    entityTokenFeats("e2", e2First, e2Last)
+    entityTokenFeats("e1", e1First, e1Last, "entity1_" + m1.class_id, m1.class_id)
+    entityTokenFeats("e2", e2First, e2Last, "entity2_" + m2.class_id, m2.class_id)
 
     // ==== IntermediateTokens (`context.py:76-166`): tokens strictly
     // between the heads, directional (fwd when h1 < h2, bkd otherwise)

@@ -17,7 +17,9 @@ import org.apache.spark.sql.expressions.Window
   *    exact re-rank within candidates. The scale path: candidate
   *    generation is a bucket-id equi-join.
   */
-object Similarity {
+// Serializable: closures calling method-local helpers (e.g. ivfTopK's
+// centroid assignment) capture the stateless module instance itself
+object Similarity extends Serializable {
 
   /** Cosine in double precision via higher-order functions: keeps the
     * arithmetic inside codegen (no UDF), deterministic left-to-right
@@ -176,6 +178,98 @@ object Similarity {
 
   // avoid an accidental name clash with sql.functions under wildcard import
   private def Hashes_mix64(x: Long): Long = graft.nlp.Hashes.mix64(x)
+
+  /** IVF (inverted-file) approximate nearest neighbor — the second scale
+    * path besides LSH: a coarse quantizer of `nlist` centroids (seeded
+    * deterministic Lloyd's iterations on a hash-sampled subset, trained
+    * driver-local like every model in this engine and broadcast)
+    * partitions the corpus into cells; each query probes its `nProbe`
+    * most-similar centroids and exact-re-ranks only those cells'
+    * vectors. Candidate retrieval is a cell-id equi-join — shuffle
+    * volume scales with nProbe/nlist of the corpus, not all of it.
+    *
+    * With nProbe == nlist every cell is probed and the result equals
+    * [[bruteForceTopK]] exactly (tested) — recall degrades gracefully as
+    * nProbe shrinks.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // deterministic training sample: ~32 vectors per centroid by hash
+    val sampleTarget = nlist * 32
+    val total = vecs.count()
+    val keepMod = math.max(1L, total / math.max(sampleTarget, 1))
+    val sample = vecs
+      .filter(r => (((Hashes_mix64(r._1 ^ seed) % keepMod) + keepMod) % keepMod) == 0L)
+      .collect().sortBy(_._1).map(_._2)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val dims = sample.head.length
+    // Lloyd's iterations, cosine assignment, deterministic ties/init
+    var centroids = Array.tabulate(nlist)(i => sample(i).map(_.toDouble))
+    def assign(e: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      val ne = math.sqrt(dotD(e, e))
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var nc = 0.0; var i = 0
+        while (i < dims) { d += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); i += 1 }
+        val sim = if (nc == 0 || ne == 0) -2.0 else d / (math.sqrt(nc) * ne)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist, dims)(0.0)
+      val counts = new Array[Int](nlist)
+      sample.foreach { e =>
+        val c = assign(e, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dims) { sums(c)(i) += e(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = vecs.map { case (id, e) => (id, assign(e, bc.value)) }
+      .toDF("neighbor_id", "cell")
+    // query side: nProbe most-similar centroids each
+    val qProbes = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val cs = bc.value
+        val ne = math.sqrt(dotD(e, e))
+        val sims = Array.tabulate(cs.length) { c =>
+          var d = 0.0; var nc = 0.0; var i = 0
+          while (i < dims) { d += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); i += 1 }
+          (if (nc == 0 || ne == 0) -2.0 else d / (math.sqrt(nc) * ne), c)
+        }
+        sims.sortBy { case (s, c) => (-s, c) }.take(math.min(nProbe, cs.length))
+          .map { case (_, c) => (id, c) }
+      }.toDF("query_id", "cell")
+    val cand = qProbes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qe = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val scored = cand.join(qe, Seq("query_id")).join(ce, Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim): splitmix64 of the packed coordinates mapped to ±1.

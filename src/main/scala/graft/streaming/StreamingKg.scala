@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.model.Turn
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.{TripleRow, Turn}
 import graft.ops.{KgPipeline, RelationScoring}
 
 /** Structured Streaming surface: incremental KG construction over a
@@ -41,6 +41,64 @@ object StreamingKg {
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Per-conversation state for [[triplesStateful]]: the turns seen so
+    * far (conversations are bounded — transcripts end) and the canonical
+    * keys already emitted (cross-batch dedup).
+    */
+  final case class ConvState(turns: Seq[Turn], emittedKeys: Set[String])
+
+  /** Stateful incremental extraction for conversations whose turns
+    * arrive ACROSS micro-batches — `flatMapGroupsWithState` over
+    * conv_id (the custom-state streaming op the batch-only reference has
+    * no analogue for):
+    *
+    *  - state = accumulated turns (deduped on turn_idx, first write
+    *    wins) + already-emitted triple keys,
+    *  - each batch re-runs the pure per-conversation extraction over the
+    *    accumulated turns and emits ONLY new keys (append-mode-safe,
+    *    exactly-once per key under the streaming checkpoint),
+    *  - idle conversations are evicted by processing-time timeout, so
+    *    state is bounded by ACTIVE conversations × bounded turns (at
+    *    scale back the state store with RocksDB).
+    */
+  def triplesStateful(turns: Dataset[Turn], cfg: KgPipeline.Config,
+                      gaz: Map[String, String],
+                      scorer: Option[RelationScoring.LinearModel] = None,
+                      maxIdle: String = "30 minutes",
+                      timeout: GroupStateTimeout =
+                        GroupStateTimeout.ProcessingTimeTimeout()): Dataset[TripleRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcGaz = spark.sparkContext.broadcast(gaz)
+    val bcLin = spark.sparkContext.broadcast(scorer)
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (convId: String, newTurns: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(ConvState(Nil, Set.empty))
+            val seen = prev.turns.map(_.turn_idx).toSet
+            val merged = prev.turns ++
+              newTurns.filterNot(t => seen(t.turn_idx)).toSeq
+                .distinctBy(_.turn_idx)
+            val g = bcGaz.value
+            val tagger: IndexedSeq[graft.model.Tok] => Seq[(String, Int, Int)] =
+              toks => toks.flatMap(t =>
+                g.get(t.word.toLowerCase).map(cls => (cls, t.begin, t.end)))
+            val all = KgPipeline.processConversation(convId, merged, cfg,
+              tagger, bcLin.value)
+            val fresh = all.filterNot(t => prev.emittedKeys(t.key))
+            state.update(ConvState(merged,
+              prev.emittedKeys ++ fresh.map(_.key)))
+            if (useTimeout) state.setTimeoutDuration(maxIdle)
+            fresh.iterator
+          }
+      }
   }
 
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark

@@ -161,6 +161,24 @@ class CurationSpec extends SparkSpec {
     (0 until 12).foreach { i => assert(lsh.exists(p => p._1 == i && p._2 == 500L + i)) }
   }
 
+  test("IVF ANN: full probe == brute force exactly; partial probe keeps recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // probing every cell retrieves every candidate → identical output
+    val full = Similarity.ivfTopK(emb, q, 5, nlist = 8, nProbe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact)
+    // honest partial probe: recall degrades gracefully, not to zero
+    val part = Similarity.ivfTopK(emb, q, 5, nlist = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(r => (r._1, r._3))
+    val recall = (exactPairs & part).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")

@@ -45,6 +45,42 @@ class StreamingKgSpec extends SparkSpec {
       spark.read.parquet(out).select("conv_id", "key").distinct().count())
   }
 
+  test("stateful cross-batch extraction: relation completes only when its turn arrives") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = KgPipeline.Config("r", "op", "obj", window = 1, tokenizer = "generic")
+    val g = Map("merge" -> "op", "table" -> "obj")
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Turn]
+    // NoTimeout in the test: processing-time timeouts keep the query
+    // running empty timeout-check batches, which drags test wall time
+    val out = StreamingKg.triplesStateful(source.toDS(), cfg, g,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.writeStream.format("memory").queryName("stateful_triples")
+      .outputMode("append").start()
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, None, new java.sql.Timestamp(1735689600000L + i))
+    try {
+      // batch 1: only the subject side of the cross-turn pair → nothing
+      source.addData(turn("cA", 0, "please merge it"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_triples").count() == 0)
+      // batch 2: the object arrives one turn later (window=1) → emitted
+      source.addData(turn("cA", 1, "into the table"))
+      q.processAllAvailable()
+      val after2 = spark.table("stateful_triples")
+        .select("conv_id", "key").as[(String, String)].collect()
+      assert(after2.length == 1 && after2.head._1 == "cA")
+      // batch 3: duplicate redelivery + an unrelated turn → no re-emit
+      source.addData(turn("cA", 1, "into the table"), turn("cA", 2, "thanks"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_triples").count() == 1)
+      // a second conversation is independent state
+      source.addData(turn("cB", 0, "merge table now"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_triples").count() == 2)
+    } finally q.stop()
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
