@@ -57,12 +57,17 @@ object Dedup {
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
         ))).as("shingle"))
       .distinct()
-    // stop-shingle filter: df computed with a window over the shingle
-    // partition (same shuffle key the self-join needs anyway)
+      // read twice below (hot-shingle aggregation + the filtered index)
+      .persist()
+    // stop-shingle filter: the hot set is tiny BY CONSTRUCTION (only
+    // shingles with df > cap), so it broadcasts and the filter is a
+    // map-side anti-join — no sort over the full index (a window-df
+    // formulation pays a per-shingle sort of the whole index)
+    val hot = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
+      .select("shingle")
     val shingled = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
       // both the inverted-index self-join sides and the size lookup read
       // this — persist to shingle once (the checkpointable intermediate
@@ -82,6 +87,7 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
       .localCheckpoint(true)
     shingled.unpersist(false)
+    exploded.unpersist(false)
     pairs
   }
 

@@ -727,6 +727,51 @@ object RelationScoring {
       .agg(count(lit(1)).cast("long").as("n_sents_together"))
   }
 
+  /** A hashed training example as a Dataset row (arrays encode natively). */
+  final case class TrainRow(idx: Array[Int], value: Array[Double], label: Int)
+
+  /** DISTRIBUTED training via iterative parameter mixing (McDonald,
+    * Hall & Mann 2010 — public algorithm): each round broadcasts the
+    * current model, every partition runs local Pegasos epochs over its
+    * shard (warm-started, per-partition-seeded shuffles), and the
+    * partition models are averaged into the next round's model with a
+    * single typed reduce (no collect of the data; only nPartitions ×
+    * |w| floats move). The driver-local [[train]] remains the default at
+    * sample scale (the reference trains single-node, `sklsvm.py:44-55`);
+    * this is the path when the edge set itself is cluster-sized.
+    */
+  def trainDistributed(data: Dataset[TrainRow], rounds: Int = 3,
+                       epochsPerRound: Int = 3, lambda: Double = 1e-4,
+                       seed: Long = 2727L): LinearModel = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    var model = LinearModel(new Array[Double](Dims), 0.0)
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(model)
+      val round = r
+      val (sumW, sumB, nParts) = data.mapPartitions { it =>
+        val local = it.map(tr => (Feats(tr.idx, tr.value), tr.label)).toVector
+        if (local.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val m = trainFrom(bc.value, local, epochsPerRound, lambda,
+            seed ^ (round.toLong << 20) ^ pid.toLong)
+          Iterator.single((m.w, m.b, 1))
+        }
+      }.reduce { (a, b) =>
+        val w = new Array[Double](Dims)
+        var i = 0
+        while (i < Dims) { w(i) = a._1(i) + b._1(i); i += 1 }
+        (w, a._2 + b._2, a._3 + b._3)
+      }
+      model = LinearModel(sumW.map(_ / nParts), sumB / nParts)
+      bc.destroy()
+      r += 1
+    }
+    model
+  }
+
   def hashFeats(m: Map[String, Double]): Feats = {
     val grouped = m.toSeq.map { case (k, v) => (h(k), v) }
       .groupBy(_._1).map { case (i, vs) => (i, vs.map(_._2).sum) }
@@ -750,11 +795,16 @@ object RelationScoring {
     * sample-train and broadcast-score.
     */
   def train(data: Seq[(Feats, Int)], epochs: Int = 10, lambda: Double = 1e-4,
-            seed: Long = 2727L): LinearModel = {
+            seed: Long = 2727L): LinearModel =
+    trainFrom(LinearModel(new Array[Double](Dims), 0.0), data, epochs, lambda, seed)
+
+  /** Warm-start form — the unit of distributed parameter mixing. */
+  def trainFrom(init: LinearModel, data: Seq[(Feats, Int)], epochs: Int,
+                lambda: Double, seed: Long): LinearModel = {
     // w kept as scale*v so the per-step L2 shrink is O(1), updates O(nnz)
-    val v = new Array[Double](Dims)
+    val v = java.util.Arrays.copyOf(init.w, Dims)
     var scale = 1.0
-    var b = 0.0
+    var b = init.b
     val rng = new scala.util.Random(seed)
     var t = 2 // start at 2 so eta*lambda < 1
     (1 to epochs).foreach { _ =>

@@ -90,6 +90,37 @@ class KgPipelineSpec extends SparkSpec {
     assert(r >= 0.95, s"recall=$r (tp=$tp fp=$fp fn=$fn)")
   }
 
+  test("DISTRIBUTED parameter-mixing training reaches P/R >= 0.9 held-out") {
+    import spark.implicits._
+    val cfg = KgPipeline.Config(RelType, SubjClass, ObjClass, window = 1, tokenizer = "generic")
+    val train = (0 until 60).flatMap { c =>
+      val turns = (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+      val gold = goldKeys(c, 5).map(_._2)
+      KgPipeline.candidateEdges(f"conv_$c%06d", turns, cfg, dictTagger, withFeatures = true)
+        .map { cand =>
+          val f = RelationScoring.hashFeats(cand.feats)
+          RelationScoring.TrainRow(f.idx, f.value,
+            if (cand.sameSentence && gold.contains(cand.key)) 1 else -1)
+        }
+    }
+    val model = RelationScoring.trainDistributed(
+      train.toDS().repartition(4), rounds = 4, epochsPerRound = 4)
+    var tp = 0L; var fp = 0L; var fn = 0L
+    (200 until 260).foreach { c =>
+      val turns = (0 until 5).map(t => Transcripts.syntheticTurn(c, t, 42L))
+      val pred = KgPipeline.processConversation(f"conv_$c%06d", turns, cfg,
+        dictTagger, Some(model)).map(_.key).toSet
+      val gold = goldKeys(c, 5).map(_._2)
+      tp += (pred & gold).size
+      fp += (pred -- gold).size
+      fn += (gold -- pred).size
+    }
+    val p = tp.toDouble / (tp + fp)
+    val r = tp.toDouble / (tp + fn)
+    assert(p >= 0.9, s"precision=$p (tp=$tp fp=$fp fn=$fn)")
+    assert(r >= 0.9, s"recall=$r (tp=$tp fp=$fp fn=$fn)")
+  }
+
   test("per-turn text survives segmentation byte-identically") {
     val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
     assert(Segmentation.invariantViolations(turns).count() == 0)
