@@ -206,10 +206,16 @@ object Similarity extends Serializable {
     val sample = vecs
       .filter(r => (((Hashes_mix64(r._1 ^ seed) % keepMod) + keepMod) % keepMod) == 0L)
       .collect().sortBy(_._1).map(_._2)
-    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    if (sample.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0).as("rank"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+    // degrade gracefully on tiny corpora: fewer cells than asked is just
+    // a coarser quantizer (nlist == 1 ≡ brute force)
+    val cells0 = math.min(nlist, sample.length)
     val dims = sample.head.length
     // Lloyd's iterations, cosine assignment, deterministic ties/init
-    var centroids = Array.tabulate(nlist)(i => sample(i).map(_.toDouble))
+    var centroids = Array.tabulate(cells0)(i => sample(i).map(_.toDouble))
     def assign(e: Array[Float], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestSim = Double.NegativeInfinity
       val ne = math.sqrt(dotD(e, e))
@@ -225,15 +231,15 @@ object Similarity extends Serializable {
     }
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(nlist, dims)(0.0)
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(cells0, dims)(0.0)
+      val counts = new Array[Int](cells0)
       sample.foreach { e =>
         val c = assign(e, centroids)
         counts(c) += 1
         var i = 0
         while (i < dims) { sums(c)(i) += e(i); i += 1 }
       }
-      centroids = Array.tabulate(nlist) { c =>
+      centroids = Array.tabulate(cells0) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }

@@ -81,6 +81,29 @@ object Formats {
     (docs.drop("title_len"), anns)
   }
 
+  /** `ProteinResidueCorpusPartialReader` (`readers.py:722-793`):
+    * annotation-only 8-column TSV. The corpus carries no document text,
+    * so — exactly like the reference — each entity becomes its own part
+    * spanning the entity text, part id `type|start|end`, with one
+    * annotation at the (document-global) start offset. Rows with other
+    * entity types are dropped. Returns (docs, anns).
+    */
+  def fromProteinResidueTsv(spark: SparkSession, path: String,
+                            mutClassId: String = "e_mut",
+                            residueClassId: String = "e_res"): (DataFrame, DataFrame) = {
+    val raw = spark.read.option("sep", "\t").csv(path)
+      .toDF("doc_id", "typ", "start", "end", "c4", "c5", "c6", "entity_text")
+      .filter(col("typ").isin("Mutation", "AminoacidResidue"))
+      .select(col("doc_id"),
+        concat_ws("|", col("typ"), col("start"), col("end")).as("part_id"),
+        when(col("typ") === "Mutation", mutClassId)
+          .otherwise(residueClassId).as("class_id"),
+        col("start").cast("int").as("begin"),
+        col("entity_text").as("text"))
+    (raw.select("doc_id", "part_id", "text"),
+      raw.select("doc_id", "part_id", "class_id", "begin", "text"))
+  }
+
   /** `MedlineReader` (`readers.py:215-251`): Medline citation XML →
     * one doc per citation, parts `title` (is_abstract=false) and
     * optional `abstract` (is_abstract=true, the reference's Part

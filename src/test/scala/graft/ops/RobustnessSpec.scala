@@ -92,5 +92,16 @@ class RobustnessSpec extends SparkSpec {
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(none).count() == 0)
     assert(TextAnalysis.quality(none).count() == 0)
+    // IVF on a corpus smaller than nlist: degrades to fewer cells, and
+    // full-probe still equals brute force
+    val tiny = Seq.tabulate(6)(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = tiny.filter($"vec_id" < 2)
+    val brute = Similarity.bruteForceTopK(tiny, q, 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(tiny, q, 3, nlist = 16, nProbe = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivf == brute)
   }
 }

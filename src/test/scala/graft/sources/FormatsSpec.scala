@@ -131,6 +131,22 @@ class FormatsSpec extends SparkSpec {
     assert(got == Set(("9", "2-Abstract-p2", "e_gene", 5, "text")))
   }
 
+  test("ProteinResidue TSV: one part per entity, class mapping, other types dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("protres")
+    Files.writeString(dir.resolve("corpus.tsv"),
+      "9724744\tMutation\t38556\t38564\tAsp\t483\tAla\tD483A\n" +
+      "9724744\tAminoacidResidue\t30956\t30960\tAsp\t450\tNULL\tD450\n" +
+      "9724744\tGene\t100\t104\tx\ty\tz\tskipme\n")
+    val (docs, anns) = Formats.fromProteinResidueTsv(spark, s"$dir/corpus.tsv")
+    assert(docs.as[(String, String, String)].collect().toSet == Set(
+      ("9724744", "Mutation|38556|38564", "D483A"),
+      ("9724744", "AminoacidResidue|30956|30960", "D450")))
+    assert(anns.as[(String, String, String, Int, String)].collect().toSet == Set(
+      ("9724744", "Mutation|38556|38564", "e_mut", 38556, "D483A"),
+      ("9724744", "AminoacidResidue|30956|30960", "e_res", 30956, "D450")))
+  }
+
   test("mergeAnnotators: union + shortest resolves overlaps") {
     import spark.implicits._
     val a = Seq(("d1", "e_x", 0, "alpha beta"), ("d1", "e_x", 20, "gamma"))
