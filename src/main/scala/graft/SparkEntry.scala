@@ -83,6 +83,13 @@ object SparkEntry {
           col("n_mentions"), col("n_convs"))
     }),
     "kg_eval" -> ((s, dir) => kgEval(s, dir)),
+    // the doc-level feature aggregations of sentence.py:140-171 as
+    // first-class distributed operators (salted two-phase groupBy /
+    // distinct-sentence pair counts — the north_rule shapes)
+    "kg_doc_counts" -> ((s, dir) =>
+      RelationScoring.docEntityCounts(mentionsOf(s, dir))),
+    "kg_pair_sents" -> ((s, dir) =>
+      RelationScoring.pairSentenceCounts(mentionsOf(s, dir), OpClass, ObjClass)),
     "kg_cc" -> ((s, dir) => kgCc(s, dir)),
     "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
     "kg_crf_mentions" -> ((s, dir) => {
@@ -327,6 +334,30 @@ object SparkEntry {
          |       '$OpClass|' || w1 AS subj, '$ObjClass|' || w2 AS obj,
          |       '$Rel|$ObjClass|' || w2 || '|$OpClass|' || w1 AS key
          |FROM pairs""".stripMargin,
+
+    // salted two-phase doc-level entity counts == plain grouped counts
+    "kg_doc_counts" ->
+      s"""WITH $M
+         |SELECT conv_id, class_id, norm,
+         |       CAST(count(*) AS BIGINT) AS n_doc
+         |FROM mentions GROUP BY 1, 2, 3""".stripMargin,
+
+    // distinct sentences where a class-ordered norm pair co-occurs
+    // ('e_obj' < 'e_op', so the key is obj-norm|op-norm)
+    "kg_pair_sents" ->
+      s"""WITH $M,
+         |pairs AS (
+         |  SELECT DISTINCT m1.conv_id,
+         |         m2.norm || '|' || m1.norm AS pair_key,
+         |         m1.turn_idx, m1.sent_idx
+         |  FROM mentions m1 JOIN mentions m2
+         |    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |   AND m1.sent_idx = m2.sent_idx
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |)
+         |SELECT conv_id, pair_key,
+         |       CAST(count(*) AS BIGINT) AS n_sents_together
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "kg_nodes" ->
       s"""WITH $M
