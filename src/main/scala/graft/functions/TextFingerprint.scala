@@ -70,5 +70,6 @@ object GraftFunctions {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[TextFingerprint].getName, "graft_fingerprint"),
       (exprs: Seq[Expression]) => TextFingerprint(exprs.head))
+    CosineSimilarity.register(spark.sessionState.functionRegistry)
   }
 }

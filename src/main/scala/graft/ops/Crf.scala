@@ -184,13 +184,31 @@ object Crf {
             epochs: Int = 8, seed: Long = 2727L): Model = {
     val labels = data.flatMap(_._2).distinct.sorted.toVector
     val L = labels.length
+    trainFrom(Model(labels, Map.empty, Array.ofDim[Double](L, L),
+      new Array[Double](L), new Array[Double](L)), data, epochs, seed)
+  }
+
+  /** Warm-startable core with a FIXED label vocabulary — the unit of
+    * distributed parameter mixing ([[trainDistributed]]). Weights start
+    * from `init`; the perceptron averaging applies to this run's updates.
+    */
+  def trainFrom(init: Model,
+                data: Seq[(IndexedSeq[List[String]], Seq[String])],
+                epochs: Int, seed: Long): Model = {
+    val labels = init.labels
+    val L = labels.length
     val li = labels.zipWithIndex.toMap
     val emissions = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    init.emissions.foreach { case (f, w) =>
+      emissions.update(f, java.util.Arrays.copyOf(w, L))
+    }
     val emissionsSum = scala.collection.mutable.HashMap.empty[String, Array[Double]]
-    val trans = Array.ofDim[Double](L, L)
+    val trans = Array.tabulate(L, L)((a, b) => init.transitions(a)(b))
     val transSum = Array.ofDim[Double](L, L)
-    val start = new Array[Double](L); val startSum = new Array[Double](L)
-    val stop = new Array[Double](L); val stopSum = new Array[Double](L)
+    val start = java.util.Arrays.copyOf(init.start, L)
+    val startSum = new Array[Double](L)
+    val stop = java.util.Arrays.copyOf(init.stop, L)
+    val stopSum = new Array[Double](L)
     val rng = new scala.util.Random(seed)
     val idx = data.indices.toArray
     var step = 1
@@ -231,9 +249,11 @@ object Crf {
         }
       }
     }
-    // averaging: w_avg = w - wSum/step
+    // averaging: w_avg = w - wSum/step (keys seen only in `init` have no
+    // update sum — their average is the unchanged init weight)
+    val zeroL = new Array[Double](L)
     val avgEm = emissions.iterator.map { case (f, w) =>
-      val ws = emissionsSum(f)
+      val ws = emissionsSum.getOrElse(f, zeroL)
       f -> Array.tabulate(L)(l => w(l) - ws(l) / step)
     }.toMap
     Model(labels,
@@ -241,6 +261,70 @@ object Crf {
       Array.tabulate(L, L)((a, b) => trans(a)(b) - transSum(a)(b) / step),
       Array.tabulate(L)(l => start(l) - startSum(l) / step),
       Array.tabulate(L)(l => stop(l) - stopSum(l) / step))
+  }
+
+  /** A labeled training sentence as a Dataset row. */
+  final case class TaggedSentence(feats: Seq[Seq[String]], labels: Seq[String])
+
+  /** Serializable partition-model snapshot for the mixing reduce. */
+  final case class PartCrf(emKeys: Seq[String], emVals: Seq[Seq[Double]],
+                           trans: Seq[Seq[Double]], start: Seq[Double],
+                           stop: Seq[Double])
+
+  /** DISTRIBUTED CRF training via iterative parameter mixing (McDonald,
+    * Hall & Mann 2010 — the algorithm was introduced for exactly this
+    * model class, the structured perceptron): each round broadcasts the
+    * mixed model, every partition runs warm-started local averaged-
+    * perceptron epochs on its shard, and the partition models are
+    * averaged. Only nPartitions × |model| floats move per round — the
+    * sentences never leave their partitions. The label vocabulary is
+    * computed globally first (it is tiny). Driver-local [[train]]
+    * remains the sample-scale default like the reference.
+    */
+  def trainDistributed(data: Dataset[TaggedSentence], rounds: Int = 3,
+                       epochsPerRound: Int = 3, seed: Long = 2727L): Model = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val labels = data.flatMap(_.labels).distinct().collect().sorted.toVector
+    val L = labels.length
+    var model = Model(labels, Map.empty, Array.ofDim[Double](L, L),
+      new Array[Double](L), new Array[Double](L))
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(model)
+      val round = r
+      val parts = data.mapPartitions { it =>
+        val local = it
+          .map(ts => (ts.feats.map(_.toList).toIndexedSeq, ts.labels))
+          .toVector
+        if (local.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val m = trainFrom(bc.value, local, epochsPerRound,
+            seed ^ (round.toLong << 20) ^ pid.toLong)
+          val keys = m.emissions.keys.toSeq.sorted
+          Iterator.single(PartCrf(keys, keys.map(k => m.emissions(k).toSeq),
+            m.transitions.map(_.toSeq).toSeq, m.start.toSeq, m.stop.toSeq))
+        }
+      }.collect() // nPartitions × |model|, not the data
+      val n = math.max(1, parts.length)
+      val em = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+      parts.foreach { p =>
+        p.emKeys.iterator.zip(p.emVals.iterator).foreach { case (k, vs) =>
+          val acc = em.getOrElseUpdate(k, new Array[Double](L))
+          var l = 0
+          while (l < L) { acc(l) += vs(l) / n; l += 1 }
+        }
+      }
+      def avg2(get: PartCrf => Seq[Seq[Double]]): Array[Array[Double]] =
+        Array.tabulate(L, L)((a, b) => parts.map(p => get(p)(a)(b)).sum / n)
+      def avg1(get: PartCrf => Seq[Double]): Array[Double] =
+        Array.tabulate(L)(l => parts.map(p => get(p)(l)).sum / n)
+      model = Model(labels, em.toMap, avg2(_.trans), avg1(_.start), avg1(_.stop))
+      bc.destroy()
+      r += 1
+    }
+    model
   }
 
   /** Hand-constructed model that reproduces exact dictionary tagging:

@@ -21,19 +21,18 @@ import org.apache.spark.sql.expressions.Window
 // centroid assignment) capture the stateless module instance itself
 object Similarity extends Serializable {
 
-  /** Cosine in double precision via higher-order functions: keeps the
-    * arithmetic inside codegen (no UDF), deterministic left-to-right
-    * aggregate order on both engines.
+  /** Cosine in double precision as a NATIVE codegen expression
+    * (graft.functions.CosineSimilarity): one fused loop over both
+    * ArrayData buffers inside WholeStageCodegen — bit-identical
+    * accumulation order to the previous higher-order-function formula
+    * (and therefore to the DuckDB oracles), without the HOF route's
+    * intermediate array allocation and three lambda evaluators per row.
     */
-  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

@@ -79,6 +79,29 @@ class CrfSpec extends SparkSpec {
     assert(f1 > 0.95, s"f1=$f1 tp=$tp fp=$fp fn=$fn")
   }
 
+  test("DISTRIBUTED parameter-mixing CRF training learns the task (F1 > 0.9)") {
+    import spark.implicits._
+    val train = goldData(0 until 40)
+      .map { case (f, l) => Crf.TaggedSentence(f.map(_.toSeq), l) }
+    val test = goldData(100 until 120)
+    val model = Crf.trainDistributed(train.toDS().repartition(4),
+      rounds = 3, epochsPerRound = 3)
+    var tp = 0; var fp = 0; var fn = 0
+    test.foreach { case (feats, gold) =>
+      val pred = Crf.viterbi(model, feats)
+      pred.zip(gold).foreach {
+        case (p, g) if p == g && g != "O" => tp += 1
+        case (p, g) if p != g && p != "O" => fp += 1
+        case (p, g) if p != g && g != "O" => fn += 1
+        case _ =>
+      }
+    }
+    val prec = tp.toDouble / (tp + fp)
+    val rec = tp.toDouble / (tp + fn)
+    val f1 = 2 * prec * rec / (prec + rec)
+    assert(f1 > 0.9, s"f1=$f1 tp=$tp fp=$fp fn=$fn")
+  }
+
   test("training is deterministic under a fixed seed") {
     val data = goldData(0 until 10)
     val m1 = Crf.train(data, epochs = 3, seed = 7L)
