@@ -121,6 +121,21 @@ class KgPipelineSpec extends SparkSpec {
     assert(r >= 0.9, s"recall=$r (tp=$tp fp=$fp fn=$fn)")
   }
 
+  test("fused pipeline pins its shuffle parallelism (AQE-coalesce regression guard)") {
+    // the conv_id shuffle is byte-light but the downstream stage is
+    // CPU-heavy: size-based AQE coalescing must NOT be able to fold it
+    // to one task (measured 13s single-task vs 0.6s at 32 when this
+    // regressed). User-specified repartition counts are exempt — assert
+    // the plan carries one.
+    val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
+    val cfg = KgPipeline.Config("r", GazetteerTagger.OpClass, GazetteerTagger.ObjClass,
+      window = 0, tokenizer = "tmvar")
+    val ds = KgPipeline.triples(turns, cfg, None, GazetteerTagger.gazetteer, None)
+    ds.count() // finalize the adaptive plan
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
+  }
+
   test("per-turn text survives segmentation byte-identically") {
     val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
     assert(Segmentation.invariantViolations(turns).count() == 0)
