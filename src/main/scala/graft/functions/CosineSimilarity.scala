@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * ~100 ns. This expression reads both ArrayData buffers directly in one
   * fused loop inside WholeStageCodegen. The accumulation order is the
   * HOF formula's exact left-to-right double order (dot over the zipped
-  * prefix, each norm over its own full array), so results are
-  * bit-identical to the previous column formula and to the DuckDB
-  * oracles (asserted in tests).
+  * prefix, each norm over its own full array), so ON EQUAL-LENGTH inputs
+  * results are bit-identical to the previous column formula and to the
+  * DuckDB oracles (asserted in tests). Unequal-length inputs differ by
+  * design: zip_with null-pads to the longer array so the old formula
+  * returned NULL, whereas this expression computes the prefix-dot over
+  * the shorter length (the behavior TextFingerprintSpec pins). All
+  * engine corpora are uniform-dimension, so the oracle claim is scoped
+  * to that case.
   *
   * Registered as SQL function `graft_cosine` via
   * [[GraftFunctions.register]]; used internally by graft.ops.Similarity

@@ -12,13 +12,21 @@ import graft.nlp.Hashes
 object Dedup {
 
   /** Exact dedup: representative id = min doc_id over identical text.
-    * One hash-shuffle on the text (Spark groups by the value itself;
-    * at 100 TB you'd group by xxhash64(text) first and verify within
-    * groups — semantics identical on collision-free data).
+    *
+    * Hash-first grouping: the window partitions on (xxhash64(text), text)
+    * with the 8-byte hash LEADING the key, so the shuffle's sort/compare
+    * work is resolved by the hash long for every non-colliding pair and
+    * full-text comparison only happens inside equal-hash runs — the text
+    * column itself still rides along (it must: keeping it in the key IS
+    * the collision verification), but it no longer drives the sort. At
+    * 100 TB this turns a byte-wise sort of the corpus into a sort of
+    * 8-byte hashes plus a handful of tie-break comparisons.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("text"))
     docs.select(col("doc_id"), col("text"))
+      .withColumn("h", xxhash64(col("text")))
       .withColumn("rep_id", min(col("doc_id")).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("rep_id"),
@@ -91,37 +99,77 @@ object Dedup {
     pairs
   }
 
+  /** (doc_id, bucket) band rows — and NOTHING else. The bucket packs the
+    * band index with a mix64 fold of that band's `rows` signature slots,
+    * so equal band slices always collide (a 64-bit bucket collision
+    * between unequal slices can only ADD candidates, which exact
+    * verification then discards — it can never lose a pair). Keeping the
+    * band rows payload-free is the scale contract: the bucket self-join
+    * shuffles `bands`× the DOC COUNT, not `bands`× the corpus shingle
+    * data (CurationSpec pins the two-column schema).
+    */
+  private[ops] def bandedBuckets(shingled: DataFrame, numPerm: Int,
+                                 bands: Int): DataFrame = {
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    shingled.select(col("doc_id"), col("shingles")).as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        val sig = Hashes.minhash(sh, numPerm)
+        (0 until bands).iterator.map { b =>
+          var h = Hashes.mix64(b.toLong + 0x9e3779b97f4a7c15L)
+          var k = 0
+          while (k < rows) { h = Hashes.mix64(h ^ sig(b * rows + k)); k += 1 }
+          (id, h)
+        }
+      }.toDF("doc_id", "bucket")
+  }
+
   /** MinHash + banded LSH near-dup candidates, verified by true shingle
     * Jaccard. Deterministic permutations derived from splitmix64 salts
     * (graft.nlp.Hashes.minhash). bands×rows = numPerm; two docs collide
     * when all `rows` signature slots of some band agree.
+    *
+    * Scale shape: band rows carry (doc_id, bucket) ONLY — the bucket
+    * self-join never ships shingle data. Candidate id-pairs are joined
+    * BACK to the persisted (doc_id, shingles) table for the exact-Jaccard
+    * verification, so each surviving candidate pays for its two shingle
+    * sets exactly once (the same candidates-then-join-back pattern as
+    * Similarity.embeddingNearDupPairsLsh). The result is materialized
+    * (localCheckpoint) so the shingle table's cache can be released
+    * before returning.
     */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3, numPerm: Int = 64,
                  bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numPerm % bands == 0)
-    val rows = numPerm / bands
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val shingled = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split("\\s+").toIndexedSeq
-        val sh = Hashes.shingles(words, shingleN)
-        (id, Hashes.minhash(sh, numPerm), sh.toArray)
-      }.toDF("doc_id", "sig", "shingles")
-    val banded = sigs.select(col("doc_id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", b, hash(slice(col("sig"), b * rows + 1, lit(rows)))))))
-      .withColumnRenamed("col", "bucket")
-    val l = banded.select(col("doc_id").as("a"), col("shingles").as("sha"), col("bucket"))
-    val r = banded.select(col("doc_id").as("b"), col("shingles").as("shb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .select("a", "b", "sha", "shb").distinct()
+        (id, Hashes.shingles(words, shingleN).toArray)
+      }.toDF("doc_id", "shingles")
+      // read by the band projection and twice by the verification join
+      .persist()
+    val banded = bandedBuckets(shingled, numPerm, bands)
+    val cand = banded
+      .join(banded.select(col("doc_id").as("b"), col("bucket")), Seq("bucket"))
+      .filter(col("doc_id") < col("b"))
+      .select(col("doc_id").as("a"), col("b")).distinct()
+    val pairs = cand
+      .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sha")), Seq("a"))
+      .join(shingled.select(col("doc_id").as("b"), col("shingles").as("shb")), Seq("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (x, y, sa, sb) =>
         val inter = sa.toSet.intersect(sb.toSet).size
         (x, y, inter.toDouble / (sa.length + sb.length - inter))
       }.toDF("a", "b", "jaccard")
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    shingled.unpersist(false)
+    pairs
   }
 
   /** 64-bit SimHash per document over word features; near-dup pairs =

@@ -91,7 +91,12 @@ object KgPipeline {
       scorer: Option[RelationScoring.LinearModel],
       skipKey: String => Boolean)(emit: Candidate => Unit): Unit = {
 
-    val sorted = turns.sortBy(_.turn_idx)
+    // Data contract: turn_idx is unique per conversation. Harden against
+    // violations anyway (duplicate turn rows would double-iterate the
+    // pair loop below AND duplicate sentence contexts): keep the FIRST
+    // row per turn_idx in input order (sortBy is stable), matching the
+    // first-write-wins rule of StreamingKg.ConvState.
+    val sorted = turns.sortBy(_.turn_idx).distinctBy(_.turn_idx)
     // per-sentence dependency parse memoized across all edges touching
     // the sentence (the reference memoizes its per-sentence graphs the
     // same way, utils/graph.py:29-46)
@@ -224,8 +229,13 @@ object KgPipeline {
     * occurrence, remaining occurrence pairs of that key are skipped
     * before feature enumeration — with dense repeated mentions this
     * collapses O(k²) scored pairs per conversation to O(distinct keys)
-    * once the positives are found (semantics unchanged: predicted =
-    * "any occurrence positive", turn kept = first = minimal).
+    * once the positives are found. Predicted-set semantics are unchanged
+    * (predicted = "any occurrence positive", `data.py:276-294` is binary;
+    * turn kept = first = minimal), but the recorded TripleRow.score is
+    * the FIRST positive occurrence's score, not the max among same-turn
+    * positives — the reference's pred_target is binary, so either choice
+    * is a valid confidence surrogate; downstream consumers should treat
+    * score as "a positive margin", not "the best margin".
     */
   def processConversation(
       convId: String,

@@ -746,6 +746,9 @@ object RelationScoring {
     val spark = data.sparkSession
     import spark.implicits._
     var model = LinearModel(new Array[Double](Dims), 0.0)
+    // empty input: return the zero model instead of letting the typed
+    // reduce below throw "empty collection" (mirrors Crf.trainDistributed)
+    if (data.isEmpty) return model
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(model)

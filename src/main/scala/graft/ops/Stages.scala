@@ -81,8 +81,12 @@ object Stages {
   }
 
   /** The full checkpointed KG materialization: transcripts → mentions →
-    * edges → triples → nodes, each stage resumable, outputs partitioned
-    * for downstream conv_id locality.
+    * edges → triples → nodes, plus the ML route (crf_mentions via
+    * broadcast-Viterbi tagging, scored via the fused pipeline under the
+    * linear scorer) — each stage resumable, outputs partitioned for
+    * downstream conv_id locality. Resume therefore covers the learned
+    * path too: a killed scoring run restarts at `scored`, not at
+    * tokenization.
     */
   def materializeAll(spark: SparkSession, sfDir: String, root: String): Seq[RunReport] = {
     val reports = Seq.newBuilder[RunReport]
@@ -110,6 +114,20 @@ object Stages {
       Linking.nodes(typedMentions)
     }
     reports += r5
+    val (_, r6) = run(spark, root, "crf_mentions") {
+      Crf.tag(Segmentation.tokenized(Segmentation.turns(transcripts)),
+        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()
+    }
+    reports += r6
+    val (_, r7) = run(spark, root, "scored") {
+      KgPipeline.triples(Segmentation.turns(transcripts),
+        KgPipeline.Config("r_op_obj", GazetteerTagger.OpClass,
+          GazetteerTagger.ObjClass, window = 0, tokenizer = "tmvar"),
+        crfModel = None, gaz = GazetteerTagger.gazetteer,
+        scorer = Some(RelationScoring.LinearModel(
+          new Array[Double](RelationScoring.Dims), b = 1.0))).toDF()
+    }
+    reports += r7
     reports.result()
   }
 }

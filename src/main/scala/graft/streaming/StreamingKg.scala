@@ -69,6 +69,13 @@ object StreamingKg {
                       maxIdle: String = "30 minutes",
                       timeout: GroupStateTimeout =
                         GroupStateTimeout.ProcessingTimeTimeout()): Dataset[TripleRow] = {
+    // EventTimeTimeout requires state.setTimeoutTimestamp + a watermark —
+    // semantics this idle-duration API does not model. Reject it up front
+    // instead of letting setTimeoutDuration throw mid-stream.
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "triplesStateful models idle-duration eviction: use " +
+        "ProcessingTimeTimeout (default) or NoTimeout; event-time timeouts " +
+        "need watermark+timestamp semantics this API does not expose")
     val spark = turns.sparkSession
     import spark.implicits._
     val bcGaz = spark.sparkContext.broadcast(gaz)

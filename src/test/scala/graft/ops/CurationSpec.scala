@@ -49,6 +49,24 @@ class CurationSpec extends SparkSpec {
     (0 until 5).foreach { i => assert(pairs.contains((i.toLong, 200L + i))) }
   }
 
+  test("minhash band rows carry (doc_id, bucket) only — no shingle payload") {
+    import spark.implicits._
+    // the scale contract fixed this round: the bucket self-join must
+    // shuffle bands×docs ID rows, never bands×corpus shingle arrays
+    val shingled = corpus.as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Hashes.shingles(text.split("\\s+").toIndexedSeq, 3).toArray)
+      }.toDF("doc_id", "shingles")
+    val banded = Dedup.bandedBuckets(shingled, numPerm = 64, bands = 16)
+    assert(banded.schema.fieldNames.toSeq == Seq("doc_id", "bucket"))
+    assert(banded.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    // equal band slices always collide: exact duplicates share all bands
+    val buckets = banded.as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 5).foreach { i => assert(buckets(i.toLong) == buckets(200L + i)) }
+  }
+
   test("ngram jaccard agrees with minhash-verified jaccard on planted pairs") {
     import spark.implicits._
     val j1 = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
@@ -81,6 +99,14 @@ class CurationSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
+    // the driver-gate params (nBits=2, tables=16) were swept to measured
+    // recall 1.0 on this corpus family — pin the full-row equality that
+    // backs ann_lsh's use of the exact ann_topk oracle
+    val exactRows = Similarity.bruteForceTopK(emb, q, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val driverRows = Similarity.lshTopK(emb, q, 5, nBits = 2, tables = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(driverRows == exactRows)
   }
 
   test("ngram jaccard: df cap leaves below-cap corpora unchanged") {

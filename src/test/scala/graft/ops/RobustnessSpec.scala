@@ -60,6 +60,27 @@ class RobustnessSpec extends SparkSpec {
     assert(out2.length == 1 && out2.head.conv_id == "A")
   }
 
+  test("duplicate turn_idx rows are contract violations but never double-emit") {
+    // two rows with the same (conv, turn_idx): first in input order wins
+    // (matching StreamingKg.ConvState first-write-wins); the candidate
+    // loop must not double-iterate the turn pair
+    val gaz = Map("merge" -> "op", "table" -> "obj")
+    val tagger: IndexedSeq[graft.model.Tok] => Seq[(String, Int, Int)] =
+      toks => toks.flatMap(tk => gaz.get(tk.word).map(c => (c, tk.begin, tk.end)))
+    val cfg = KgPipeline.Config("r", "op", "obj", window = 1, tokenizer = "generic")
+    val clean = Seq(t("c", 0, "merge table now."), t("c", 1, "merge again."))
+    val dup = Seq(t("c", 0, "merge table now."),
+      t("c", 0, "merge table now."), // exact duplicate row
+      t("c", 0, "something else entirely."), // conflicting duplicate: ignored
+      t("c", 1, "merge again."))
+    val cleanCands = KgPipeline.candidateEdges("c", clean, cfg, tagger, withFeatures = false)
+    val dupCands = KgPipeline.candidateEdges("c", dup, cfg, tagger, withFeatures = false)
+    assert(dupCands == cleanCands)
+    assert(cleanCands.size == 1) // merge(t0) - table(t0), exactly once
+    assert(KgPipeline.processConversation("c", dup, cfg, tagger, None) ==
+      KgPipeline.processConversation("c", clean, cfg, tagger, None))
+  }
+
   test("CRF tagging of empty sentences and unknown-only words") {
     import spark.implicits._
     val turns = Seq(t("c1", 0, "zzz qqq unknownwords."), t("c2", 0, "")).toDS()

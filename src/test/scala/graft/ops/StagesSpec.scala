@@ -13,7 +13,8 @@ class StagesSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_stages").toString
     val first = Stages.materializeAll(spark, "/root/testdata/sf0.001", root)
     assert(first.forall(!_.skipped))
-    assert(first.map(_.stage) == Seq("transcripts", "mentions", "edges", "triples", "nodes"))
+    assert(first.map(_.stage) == Seq("transcripts", "mentions", "edges",
+      "triples", "nodes", "crf_mentions", "scored"))
 
     // outputs exist and are non-empty
     first.foreach { r =>
@@ -46,6 +47,23 @@ class StagesSpec extends SparkSpec {
     val skippedMap = third.map(r => r.stage -> r.skipped).toMap
     assert(skippedMap("transcripts") && skippedMap("mentions") && skippedMap("nodes"))
     assert(!skippedMap("edges") && !skippedMap("triples"))
+    assert(skippedMap("crf_mentions") && skippedMap("scored"))
+
+    // ML-route resume: killing a scoring run restarts at 'scored' only
+    delete(s"$root/scored")
+    val fourth = Stages.materializeAll(spark, "/root/testdata/sf0.001", root)
+    val skipped4 = fourth.map(r => r.stage -> r.skipped).toMap
+    assert(!skipped4("scored"))
+    assert(fourth.filter(_.stage != "scored").forall(_.skipped))
+
+    // crf_mentions stage parity with the declarative CRF query route
+    val fromCrf = spark.read.parquet(s"$root/crf_mentions")
+      .select("conv_id", "turn_idx", "begin", "end").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val declCrf = graft.SparkEntry.queries("kg_crf_mentions")(spark, "/root/testdata/sf0.001")
+      .select("conv_id", "turn_idx", "begin", "end").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(fromCrf == declCrf)
 
     // triples parity with the declarative query route
     val fromStages = spark.read.parquet(s"$root/triples")
