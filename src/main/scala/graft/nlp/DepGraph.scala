@@ -12,7 +12,10 @@ import graft.model.Tok
   * head assignment is a deterministic rule parser: the first verb-like
   * token is the root; tokens attach left-to-right to the nearest
   * content-token head (verbs attach to the root, punctuation to the
-  * previous token). All path properties of the reference's test suite
+  * previous token). Edges carry deterministic LABELS from [[depLabels]]
+  * (POS-pair + position rules), standing in for spaCy's labeled parse in
+  * chain features, PD edge n-grams and `neg`-dependency negation. All
+  * path properties of the reference's test suite
   * (`tests/utils/test_graphs.py:154-212`) hold: dist(u,u)=0, symmetry,
   * adjacency ⇒ dist 1, path reversal, Dijkstra ≡ Floyd-Warshall.
   */
@@ -66,6 +69,55 @@ object DepGraph {
     else if (verbLexicon.contains(w)) "VERB"
     else if (w.length > 3 && verbSuffixes.exists(w.endsWith)) "VERB"
     else "NOUN"
+  }
+
+  /** Auxiliary / modal verb forms — attach to a verbal head as "aux"
+    * rather than "conj".
+    */
+  private val auxLexicon = Set(
+    "am", "is", "are", "was", "were", "be", "been",
+    "has", "have", "had", "do", "does", "did",
+    "will", "would", "can", "could", "shall", "should", "may", "might",
+    "must", "ought")
+
+  /** Deterministic dependency LABEL of each token's edge to its head —
+    * the hermetic stand-in for spaCy's labeled parse (nalaf reads
+    * `token.features['dep']` in chain features `entityhead.py:264-281`,
+    * PD edge n-grams `new/dependency.py:96-127` and neg-counting
+    * `data.py:1104-1118`). Rules are POS-pair + relative-position only
+    * (no external model): negation tokens are "neg" wherever they
+    * attach; punctuation "punct"; determiners "det"; adpositions "prep";
+    * numbers "nummod"; auxiliaries "aux" and other verbs "conj" under a
+    * verbal head; a noun before its verbal head is "nsubj", after it
+    * "dobj" (the subject/object heuristic of projective English order);
+    * noun-under-noun "compound", noun-under-adposition "pobj"; anything
+    * else "dep". The root's self-edge is labeled "root" (never emitted
+    * as an edge feature). A fixed small label vocabulary keeps hashed
+    * feature space stable across corpora.
+    */
+  def depLabels(toks: IndexedSeq[Tok], heads: Array[Int]): Array[String] = {
+    val pos = toks.map(t => coarsePos(t.word))
+    Array.tabulate(toks.length) { i =>
+      val w = toks(i).word.toLowerCase
+      if (heads(i) == i) "root"
+      else if (negWords.contains(w)) "neg"
+      else {
+        val hp = pos(heads(i))
+        pos(i) match {
+          case "PUNCT" => "punct"
+          case "DET" => "det"
+          case "ADP" => "prep"
+          case "NUM" => "nummod"
+          case "VERB" => if (auxLexicon.contains(w)) "aux" else "conj"
+          case "NOUN" =>
+            if (hp == "VERB") { if (i < heads(i)) "nsubj" else "dobj" }
+            else if (hp == "NOUN") "compound"
+            else if (hp == "ADP") "pobj"
+            else "dep"
+          case _ => "dep"
+        }
+      }
+    }
   }
 
   /** head(i) for every token; root points to itself. */
@@ -162,13 +214,26 @@ object DepGraph {
 
   private val negWords = Set("not", "no", "never", "n't", "nor", "neither", "cannot")
 
-  /** Sentence negation — `Part.is_sentence_negated` (`data.py:1106-1118`:
-    * odd number of `neg` dependencies). Our rule parser emits no labeled
-    * deps, so the deterministic equivalent counts negation tokens: the
-    * sentence is negated iff their count is odd.
+  /** Negation parity over an arbitrary token subsequence (used for path
+    * middles, where no contiguous parse exists): negated iff the count of
+    * negation tokens is odd. For a full parsed sentence, prefer
+    * [[isNegatedLabeled]], which counts `neg`-LABELED dependencies
+    * exactly like `Part.is_sentence_negated` (`data.py:1106-1118`) — the
+    * two agree whenever no negation token is the sentence root, since
+    * [[depLabels]] labels every non-root negation token "neg".
     */
   def isNegated(toks: IndexedSeq[Tok]): Boolean =
     toks.count(t => negWords.contains(t.word.toLowerCase)) % 2 == 1
+
+  /** `Part.is_sentence_negated` (`data.py:1106-1118`): odd number of
+    * dependencies labeled `neg`.
+    */
+  def isNegatedLabeled(labels: Array[String]): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < labels.length) { if (labels(i) == "neg") n += 1; i += 1 }
+    n % 2 == 1
+  }
 
   /** First verbs reachable from the root — `Part.get_main_verbs`
     * (`data.py:1087-1104`): BFS from the root, collect the first layer

@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   *    there, `dependency.py:129-161`).
   *  - Entity-head surface/case/digit/punct/char-2-3-grams
   *    (`relations/entityhead.py:7-229`) and dependency CHAINS to depth 3
-  *    with linear-order features (`entityhead.py:230-302`). Our rule
-  *    parser has unlabeled deps, so chain dep labels are the constant
-  *    "dep" — the chain signal carries via direction tags + visited-token
-  *    features (documented deviation).
+  *    with linear-order features (`entityhead.py:230-302`). Chain and PD
+  *    edge labels come from the deterministic rule labeler
+  *    (DepGraph.depLabels: nsubj/dobj/det/prep/neg/aux/... by POS pair +
+  *    position), the hermetic stand-in for spaCy's labeled parse — so
+  *    `from_<dep>`/`-fw_<dep>` chain names, PD edge-label n-grams and
+  *    `neg`-dependency negation all carry real label signal.
   *  - LinearDistance / EntityOrder (`relations/context.py:5-73`).
   *  - IntermediateTokens with fwd/bkd directional variants + the
   *    undirected set (`context.py:76-166`).
@@ -164,7 +166,13 @@ object RelationScoring {
       if (lowerCache(i) == null) lowerCache(i) = toks(i).word.toLowerCase
       lowerCache(i)
     }
-    lazy val negated: Boolean = DepGraph.isNegated(toks)
+    /** Rule-assigned dependency label of each token's edge to its head
+      * (`token.features['dep']` in the reference) — shared by the PD edge
+      * n-grams, the chain features and the negation test.
+      */
+    lazy val depLabels: Array[String] = DepGraph.depLabels(toks, heads)
+    // labeled-dependency form (`data.py:1106-1118`): odd # of `neg` deps
+    lazy val negated: Boolean = DepGraph.isNegatedLabeled(depLabels)
     lazy val mainVerbStems: List[String] = {
       val rootIdx = depth.indices.find(depth(_) == 0).getOrElse(0)
       DepGraph.mainVerbs(toks, adj, rootIdx)
@@ -205,11 +213,16 @@ object RelationScoring {
 
     /** One step of an entity-head dependency chain walk
       * (`entityhead.py:264-281`): the visited token, remaining depth,
-      * direction (true = -fw via the head, false = -rv via a child) and
-      * the chain string accumulated BEFORE this step. Pair-independent —
-      * cached per start token and replayed per candidate pair.
+      * direction (true = -fw via the head, false = -rv via a child), the
+      * chain string accumulated BEFORE this step, and the dependency
+      * LABEL of the traversed edge (the reference's
+      * `token.features['dep']` for upward steps, `dependency[1]` for
+      * downward ones — both are the label of the edge's lower node).
+      * Pair-independent — cached per start token and replayed per
+      * candidate pair.
       */
-    final case class ChainVisit(token: Int, depth: Int, fw: Boolean, chain: String)
+    final case class ChainVisit(token: Int, depth: Int, fw: Boolean,
+                                chain: String, label: String)
     private val chainCache = scala.collection.mutable.HashMap.empty[Int, Array[ChainVisit]]
     def chainVisitsOf(start: Int): Array[ChainVisit] =
       chainCache.getOrElseUpdate(start, {
@@ -218,13 +231,14 @@ object RelationScoring {
           if (depthLeft == 0) return
           val parent = if (t < heads.length) heads(t) else t
           if (parent != t) {
-            out += ChainVisit(parent, depthLeft, fw = true, chain)
+            out += ChainVisit(parent, depthLeft, fw = true, chain, depLabels(t))
             walk(parent, chain + "-fw", depthLeft - 1)
           }
           val kids = if (t < childrenOf.length) childrenOf(t) else Array.emptyIntArray
           var ci = 0
           while (ci < kids.length) {
-            out += ChainVisit(kids(ci), depthLeft, fw = false, chain)
+            out += ChainVisit(kids(ci), depthLeft, fw = false, chain,
+              depLabels(kids(ci)))
             walk(kids(ci), chain + "-rv", depthLeft - 1)
             ci += 1
           }
@@ -235,11 +249,13 @@ object RelationScoring {
 
     private def pack(u: Int, v: Int): Long =
       (math.min(u, v).toLong << 32) | math.max(u, v).toLong
-    /** Dependency label of the edge (u, v): "dep" for parser edges,
-      * the synthetic link's label otherwise (`PathNode.edge_type`).
+    /** Dependency label of the edge (u, v): the rule-assigned label of
+      * the edge's LOWER node for parser edges, the synthetic link's label
+      * otherwise (`PathNode.edge_type`).
       */
     def edgeLabel(u: Int, v: Int): String =
-      if (u < heads.length && v < heads.length && (heads(v) == u || heads(u) == v)) "dep"
+      if (v < heads.length && heads(v) == u) depLabels(v)
+      else if (u < heads.length && heads(u) == v) depLabels(u)
       else extraLabels.getOrElse(pack(u, v), "user")
     /** Direction of the step u→v: "F" when u is v's head, "B" when v is
       * u's head (`PathNode.str_direction`); synthetic links read forward
@@ -642,16 +658,17 @@ object RelationScoring {
     // ==== Entity-head dependency chains, depth 3 (`entityhead.py:230-302`)
     // up = dependency_from (head), down = dependency_to (children); each
     // visited token contributes linear-order features (txt/pos/masked/
-    // ann_type). Dep labels are the constant "dep" in our unlabeled
-    // parser, so the chain signal is direction tags + token features.
+    // ann_type). Dep labels come from the deterministic rule set
+    // (DepGraph.depLabels), mirroring the reference's
+    // `from_<dep>` / `chain..-fw_<dep>` naming (`entityhead.py:264-281`).
     // the walk itself (pair-independent tree structure) is cached per
     // start token in SentencePrep and replayed here as a flat loop —
     // per-visit work is a handful of two-part concats (the walk revisits
     // O(fanout²) nodes on flat parses, so per-visit cost is the hot spot)
     def chainsFor(prefix: String, start: Int): Unit = {
       if (start < 0) return
-      val depFrom = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_from_dep")
-      val depTo = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_to_dep")
+      val depFrom = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_from_")
+      val depTo = Array.tabulate(4)(d => prefix + "dep_dist_" + d + "_to_")
       val chainBase = Array.tabulate(4)(d => prefix + "chain_dep_dist_" + d + "_")
       val loBase = Array.tabulate(4)(d => prefix + "dist_" + d + "_")
       val visits = prep.chainVisitsOf(start)
@@ -659,11 +676,15 @@ object RelationScoring {
       while (vi < visits.length) {
         val v = visits(vi)
         if (v.fw) {
-          add(depFrom(v.depth))
-          add3(chainBase(v.depth), v.chain, "-fw_dep")
+          add2(depFrom(v.depth), v.label)
+          nb.setLength(0)
+          nb.append(chainBase(v.depth)).append(v.chain).append("-fw_").append(v.label)
+          add0(nb, 1.0)
         } else {
-          add(depTo(v.depth))
-          add3(chainBase(v.depth), v.chain, "-rv_dep")
+          add2(depTo(v.depth), v.label)
+          nb.setLength(0)
+          nb.append(chainBase(v.depth)).append(v.chain).append("-rv_").append(v.label)
+          add0(nb, 1.0)
         }
         val base = loBase(v.depth)
         val i = v.token

@@ -95,12 +95,14 @@ class RelationFeaturesSpec extends SparkSpec {
     assert(f("ld_bow_1g=calls") == 1.0)
     assert(f("ld_pos_1g=VERB") == 1.0)
     assert(f("ld_bow_3g=[S~calls~T]") == 1.0)
-    // PD path merge→calls→table (root = calls): step directions B then F
+    // PD path merge→calls→table (root = calls): step directions B then F,
+    // labels from the rule labeler: merge = noun BEFORE its verbal head →
+    // nsubj, table = noun AFTER it → dobj
     assert(f("pd_len") == 3.0)
     assert(f("pd_tok=calls") == 1.0)
-    assert(f("pd_undir_2g=dep~dep") == 1.0)
-    assert(f("pd_dir_2g=dep-B~dep-F") == 1.0)
-    assert(f("pd_full_1g=[S dep-B") == 1.0)
+    assert(f("pd_undir_2g=nsubj~dobj") == 1.0)
+    assert(f("pd_dir_2g=nsubj-B~dobj-F") == 1.0)
+    assert(f("pd_full_1g=[S nsubj-B") == 1.0)
     // bag of words: stopword-free sentence words
     assert(f("bow_text=merge") == 1.0)
     assert(f("ne_bow=merge") == 1.0) // entity-part token count
@@ -112,16 +114,53 @@ class RelationFeaturesSpec extends SparkSpec {
     assert(f("it_fwd_pos=VERB") == 1.0)
   }
 
-  test("entity-head chains emit direction-tagged visits to depth 3") {
+  test("entity-head chains emit direction-tagged LABELED visits to depth 3") {
     val oneTurn = Seq(turn(0, "merge calls table"))
     val f = KgPipeline.candidateEdges("c0", oneTurn, cfg, tagger, withFeatures = true)
       .head.feats
-    // merge's head token attaches to the root 'calls' → upward chain
-    assert(f.contains("e1_dep_dist_3_from_dep"))
-    assert(f.contains("e1_chain_dep_dist_3_-fw_dep"))
+    // merge's head token attaches to the root 'calls' as nsubj → upward
+    // chain carries the traversed edge's label (entityhead.py:264-281)
+    assert(f.contains("e1_dep_dist_3_from_nsubj"))
+    assert(f.contains("e1_chain_dep_dist_3_-fw_nsubj"))
     assert(f("e1_dist_3_txt=calls") == 1.0)
-    // 'calls' (root) has children merge and table → downward chain from e2
-    assert(f.contains("e2_chain_dep_dist_2_-fw-rv_dep"))
+    // 'calls' (root) has children merge (nsubj) and table (dobj) →
+    // downward chains from e2 are label-distinct
+    assert(f.contains("e2_chain_dep_dist_2_-fw-rv_nsubj"))
+    assert(f.contains("e2_chain_dep_dist_2_-fw-rv_dobj"))
+    assert(f.contains("e2_dep_dist_3_from_dobj"))
+  }
+
+  test("rule dep labels: det/prep/neg/aux and negation via neg-dep parity") {
+    import graft.model.Tok
+    import graft.nlp.DepGraph
+    def toks(ws: String*): IndexedSeq[Tok] = {
+      var off = 0
+      ws.zipWithIndex.map { case (w, i) =>
+        val t = Tok(i, w, off, off + w.length); off += w.length + 1; t
+      }.toIndexedSeq
+    }
+    // root = first VERB = 'did' (verb lexicon); 'scan'/'merge'/'table'
+    // are NOUNs here
+    val s = toks("the", "scan", "did", "not", "merge", "with", "table")
+    val hs = DepGraph.heads(s)
+    val ls = DepGraph.depLabels(s, hs)
+    assert(ls(0) == "det")
+    assert(ls(3) == "neg")
+    assert(ls(5) == "prep")
+    // aux under the root: 'did' IS the root here → labeled root
+    val root = hs.indices.find(i => hs(i) == i).get
+    assert(ls(root) == "root")
+    // odd neg count → negated, and parity matches the token-based form
+    assert(DepGraph.isNegatedLabeled(ls))
+    assert(DepGraph.isNegated(s))
+    // double negation: two neg deps → even parity → not negated
+    val pos = toks("merge", "can", "not", "never", "load", "table")
+    val hs2 = DepGraph.heads(pos)
+    val ls2 = DepGraph.depLabels(pos, hs2)
+    assert(!DepGraph.isNegatedLabeled(ls2))
+    val root2 = hs2.indices.find(i => hs2(i) == i).get
+    assert(ls2(root2) == "root") // root = first VERB = 'can'
+    assert(ls2.count(_ == "neg") == 2)
   }
 
   test("distributed salted doc counts == fused group-local counts") {
