@@ -1,0 +1,51 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-volume probe for one driver query: runs
+  * `SparkEntry.queries(<name>)` on `<sfDir>` with a task-metrics listener
+  * and prints total shuffle bytes written/read across all jobs the query
+  * triggered. This is the evidence tool for plan-shape claims ("the
+  * banded self-join ships id rows, not shingle arrays") — `Explain`
+  * shows the shape, this shows the bytes.
+  *
+  * Usage: runMain graft.ShuffleStats <queryName> [sfDir]
+  */
+object ShuffleStats {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val written = new AtomicLong
+    val read = new AtomicLong
+    val tasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          tasks.incrementAndGet()
+        }
+      }
+    })
+    val rows = SparkEntry.queries(name)(spark, sfDir).count()
+    // let the listener bus drain before reading the counters
+    Thread.sleep(2000)
+    println(s"""{"query":"$name","sf":"$sfDir","rows":$rows,""" +
+      s""""tasks":${tasks.get},"shuffle_write_bytes":${written.get},""" +
+      s""""shuffle_read_bytes":${read.get}}""")
+    SparkEntry.clearCaches()
+    spark.stop()
+  }
+}

@@ -136,6 +136,18 @@ class KgPipelineSpec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
 
+  test("kg_eval pushes gold-vocabulary prefilters onto both join inputs (plan guard)") {
+    // the exact gold rule is an OR-of-ANDs across both sides (post-join
+    // only); its weaker per-side projections must appear as IN filters
+    // BELOW the turn-window join so sparse gold vocabularies shrink the
+    // join input at scale
+    val df = graft.SparkEntry.queries("kg_eval")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(" IN (merge,filter,scan,sort)"), plan.take(4000))
+    assert(plan.contains(" IN (table,stream,batch,vector)"), plan.take(4000))
+    graft.SparkEntry.clearCaches()
+  }
+
   test("per-turn text survives segmentation byte-identically") {
     val turns = Segmentation.turns(Transcripts.fromDocuments(spark, "/root/testdata/sf0.001"))
     assert(Segmentation.invariantViolations(turns).count() == 0)
