@@ -83,9 +83,11 @@ object Stages {
   /** The full checkpointed KG materialization: transcripts → mentions →
     * edges → triples → nodes, plus the ML route (crf_mentions via
     * broadcast-Viterbi tagging, scored via the fused pipeline under the
-    * linear scorer) — each stage resumable, outputs partitioned for
-    * downstream conv_id locality. Resume therefore covers the learned
-    * path too: a killed scoring run restarts at `scored`, not at
+    * linear scorer) — each stage resumable. Outputs are deliberately NOT
+    * dir-partitioned by conv_id (cardinality ≈ corpus size — a
+    * small-files bomb); at scale pass a coarse derived key (e.g.
+    * date or hash-bucket) through `partitionBy`. Resume covers the
+    * learned path too: a killed scoring run restarts at `scored`, not at
     * tokenization.
     */
   def materializeAll(spark: SparkSession, sfDir: String, root: String): Seq[RunReport] = {

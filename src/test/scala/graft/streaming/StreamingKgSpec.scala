@@ -81,6 +81,19 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("triplesStateful rejects EventTimeTimeout up front") {
+    import spark.implicits._
+    val cfg = KgPipeline.Config("r", "op", "obj", window = 1, tokenizer = "generic")
+    // an event-time timeout needs setTimeoutTimestamp + watermark
+    // semantics this API does not model — fail at call time, not
+    // mid-stream inside the state function
+    val e = intercept[IllegalArgumentException] {
+      StreamingKg.triplesStateful(Seq.empty[Turn].toDS(), cfg, Map.empty,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+    }
+    assert(e.getMessage.contains("ProcessingTimeTimeout"))
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
