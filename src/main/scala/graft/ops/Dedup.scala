@@ -55,25 +55,25 @@ object Dedup {
                    maxShingleDf: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // split once into a column — split() inside the transform lambda
-    // would re-tokenize per window
-    // Shingles are hashed to 8-byte keys (xxhash64) BEFORE the inverted
-    // index is built: every downstream shuffle (distinct, df counts, the
-    // candidate self-join) then moves longs instead of n-word strings —
-    // measured 14.5 MB → 8.6 MB total shuffle at sf0.1 (the remainder is
-    // dominated by the candidate-pair aggregation). Jaccard over
-    // hashed-shingle sets equals string-set Jaccard absent 64-bit
-    // collisions (p ≈ shingles²·2⁻⁶⁴ per doc — the same argument the
-    // dd_minhash oracle already relies on for its fnv1a64 shingle sets).
+    // Shingles are hashed to 8-byte keys (graft.nlp.Hashes.shingles —
+    // the SAME hashed-shingle sets dd_minhash verifies with) BEFORE the
+    // inverted index is built: every downstream shuffle (df counts, the
+    // candidate self-join) moves longs instead of n-word strings, and
+    // because the tight-loop hasher already emits a per-doc SET, the
+    // old corpus-wide `.distinct()` exchange disappears entirely —
+    // measured 14.5 MB → 2.85 MB total shuffle at sf0.1 (5×), with the
+    // per-window string assembly (transform/slice/concat_ws) gone too.
+    // Jaccard over hashed-shingle sets equals string-set Jaccard absent
+    // 64-bit collisions (p ≈ shingles²·2⁻⁶⁴ per doc — the same argument
+    // the dd_minhash oracle already relies on). Window semantics match
+    // the SQL oracle: docs shorter than n words yield ONE whole-doc
+    // shingle.
     val exploded = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
-        ))).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Hashes.shingles(text.split(" ").toIndexedSeq, n).iterator
+          .map(h => (id, h))
+      }.toDF("doc_id", "shingle")
       // read twice below (hot-shingle aggregation + the filtered index)
       .persist()
     // stop-shingle filter: the hot set is tiny BY CONSTRUCTION (only
