@@ -6,18 +6,33 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads ride through the engine as
   * opaque BINARY columns with typed metadata, and decode/feature-extract
   * runs as a batched `mapPartitions` stage (the Scala equivalent of a
-  * pandas-UDF batch loop: per-partition init of the (stub) codec, batch
+  * pandas-UDF batch loop: per-partition init of the codec, batch
   * iteration, columnar output).
   *
-  * The container has no image/audio codecs, so [[StubCodec.decode]] is a
-  * clearly-marked deterministic fake — the Spark-side contract (schema,
-  * partitioning, batch shape, null behavior) is real and tested, and a
-  * real codec drops into the same seam.
+  * The codec is a SEAM ([[MediaCodec]]) with two implementations:
+  *  - [[ImageIoCodec]] — a REAL image codec over the JDK's built-in
+  *    `javax.imageio` readers (PNG/JPEG/BMP/GIF ship with the JVM — no
+  *    external dependency): true dimensions + frame counts, luminance
+  *    histogram features, real rescale-and-reencode resize.
+  *  - [[StubCodec]] — a clearly-marked deterministic fake for media the
+  *    sandbox cannot decode (audio/video codecs are absent) and for the
+  *    DuckDB-oracle-able driver query, whose payloads are synthetic
+  *    UTF-8 bytes, not real media.
   */
 object Multimodal {
 
+  /** The codec seam: decode returns None for undecodable payloads. */
+  trait MediaCodec extends Serializable {
+    /** (width, height, n_frames), or None if the payload can't be decoded. */
+    def decodeOpt(bytes: Array[Byte]): Option[(Int, Int, Int)]
+    /** Fixed-width feature vector (zeros when undecodable). */
+    def features(bytes: Array[Byte]): Array[Float]
+    /** Re-encoded payload at (w, h), or None if undecodable. */
+    def resizeBytes(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+  }
+
   /** Deterministic stand-in for a media codec. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     /** STUB: a real implementation would decode image bytes; this derives
       * deterministic pseudo-metadata from the payload so the pipeline is
       * testable end-to-end (and DuckDB-oracle-able). Arithmetic is done in
@@ -34,10 +49,13 @@ object Multimodal {
       (w, h, frames)
     }
 
+    override def decodeOpt(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      Some(decode(bytes))
+
     /** STUB feature vector: 8 deterministic moments of the byte stream
       * (a real extractor would emit an embedding).
       */
-    def features(bytes: Array[Byte]): Array[Float] = {
+    override def features(bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Long](8)
       var i = 0
       while (i < bytes.length) {
@@ -46,6 +64,100 @@ object Multimodal {
       }
       acc.map(v => (v % 997).toFloat / 997f)
     }
+
+    /** STUB resize: deterministic strided byte subsample proportional to
+      * the target area (see [[Multimodal.resize]]).
+      */
+    override def resizeBytes(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+      val (w, h, _) = decode(bytes)
+      val srcArea = math.max(1L, w.toLong * h)
+      val keep = math.max(1L,
+        (bytes.length.toLong * tw * th + srcArea - 1) / srcArea)
+      val n = math.min(bytes.length.toLong, keep).toInt
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = bytes(((i.toLong * bytes.length) / n).toInt)
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** REAL image codec over the JDK's bundled `javax.imageio` readers —
+    * no external libraries. Decodes true dimensions and frame counts
+    * (animated GIFs report their frame count), extracts an 8-bin
+    * luminance histogram as the feature vector (pixel-sampled so cost is
+    * bounded per image), and resizes by bilinear redraw + deterministic
+    * PNG re-encode. Undecodable payloads (audio, video, corrupt bytes)
+    * yield None/zeros — side-output accounting is the caller's choice.
+    */
+  object ImageIoCodec extends MediaCodec {
+    // executors may run headless; AWT raster ops don't need a display
+    private def ensureHeadless(): Unit =
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+
+    override def decodeOpt(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      ensureHeadless()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some((r.getWidth(0), r.getHeight(0),
+            math.max(1, r.getNumImages(true))))
+          catch { case _: java.io.IOException => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      ensureHeadless()
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    }
+
+    override def features(bytes: Array[Byte]): Array[Float] =
+      readImage(bytes) match {
+        case None => new Array[Float](8)
+        case Some(img) =>
+          val hist = new Array[Long](8)
+          val w = img.getWidth; val h = img.getHeight
+          // sample at most ~4096 pixels so feature cost is O(1) per image
+          val step = math.max(1, (w.toLong * h / 4096L).toInt)
+          var idx = 0; var n = 0L
+          val total = w.toLong * h
+          while (idx < total) {
+            val x = (idx % w).toInt; val y = (idx / w).toInt
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1
+            n += 1
+            idx += step
+          }
+          hist.map(v => if (n == 0) 0f else v.toFloat / n)
+      }
+
+    override def resizeBytes(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+      readImage(bytes).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
   }
 
   /** Attach a synthetic binary payload column (UTF-8 of the text — in a
@@ -61,9 +173,12 @@ object Multimodal {
 
   /** Batched decode/feature-extract over the binary column. Output
     * schema: (doc_id, media_type, n_bytes, width, height, n_frames,
-    * feat ARRAY<FLOAT>). Narrow stage; batch shape = partition iterator.
+    * feat ARRAY<FLOAT>). Narrow stage; batch shape = partition iterator;
+    * undecodable payloads keep their row with (-1, -1, -1) dimensions
+    * (queryable, never silently dropped) and a zero feature vector.
     */
-  def decodeFeatures(withBytes: DataFrame): DataFrame = {
+  def decodeFeatures(withBytes: DataFrame,
+                     codec: MediaCodec = StubCodec): DataFrame = {
     val spark = withBytes.sparkSession
     import spark.implicits._
     withBytes.select(col("doc_id"), col("media_type"), col("payload"))
@@ -71,40 +186,31 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would happen here (expensive handle)
         it.map { case (id, mt, bytes) =>
-          val (w, h, f) = StubCodec.decode(bytes)
-          (id, mt, bytes.length.toLong, w, h, f, StubCodec.features(bytes))
+          val (w, h, f) = codec.decodeOpt(bytes).getOrElse((-1, -1, -1))
+          (id, mt, bytes.length.toLong, w, h, f, codec.features(bytes))
         }
       }
       .toDF("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "feat")
   }
 
-  /** Batched resize stage. STUB transform: a real codec would decode,
-    * rescale and re-encode; the stub emits a deterministic byte
-    * subsample proportional to the target area so downstream size
-    * accounting is testable. The Spark contract — narrow mapPartitions
-    * batch, per-partition codec init seam, (id, type, dims, payload)
-    * schema — is the real one a codec drops into.
+  /** Batched resize stage: decode → rescale → re-encode through the
+    * codec seam ([[ImageIoCodec]] does a real bilinear redraw + PNG
+    * re-encode; [[StubCodec]] emits a deterministic byte subsample
+    * proportional to the target area so size accounting stays testable
+    * for media the sandbox can't decode). Undecodable payloads are
+    * DROPPED from the resized output — at scale, pair with
+    * [[decodeFeatures]]' (-1, -1, -1) rows for failure accounting.
     */
-  def resize(withBytes: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resize(withBytes: DataFrame, targetW: Int, targetH: Int,
+             codec: MediaCodec = StubCodec): DataFrame = {
     val spark = withBytes.sparkSession
     import spark.implicits._
     withBytes.select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, mt, bytes) =>
-          val (w, h, _) = StubCodec.decode(bytes)
-          // keep ceil(n * targetArea / srcArea) bytes, evenly strided
-          val srcArea = math.max(1L, w.toLong * h)
-          val keep = math.max(1L,
-            (bytes.length.toLong * targetW * targetH + srcArea - 1) / srcArea)
-          val n = math.min(bytes.length.toLong, keep).toInt
-          val out = new Array[Byte](n)
-          var i = 0
-          while (i < n) {
-            out(i) = bytes(((i.toLong * bytes.length) / n).toInt)
-            i += 1
-          }
-          (id, mt, targetW, targetH, out)
+        it.flatMap { case (id, mt, bytes) =>
+          codec.resizeBytes(bytes, targetW, targetH)
+            .map(out => (id, mt, targetW, targetH, out))
         }
       }
       .toDF("doc_id", "media_type", "width", "height", "payload")
@@ -116,14 +222,15 @@ object Multimodal {
     * feeds to per-frame feature extraction. STUB slicing (a real codec
     * seeks keyframes); the one-row-per-frame contract is real.
     */
-  def sampleFrames(withBytes: DataFrame, stride: Int): DataFrame = {
+  def sampleFrames(withBytes: DataFrame, stride: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
     require(stride >= 1)
     val spark = withBytes.sparkSession
     import spark.implicits._
     withBytes.select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, mt, bytes) =>
-        val (_, _, nFrames) = StubCodec.decode(bytes)
+        val (_, _, nFrames) = codec.decodeOpt(bytes).getOrElse((0, 0, 0))
         val frameLen = math.max(1, bytes.length / math.max(1, nFrames))
         (0 until nFrames by stride).iterator.map { f =>
           val from = math.min(bytes.length, f * frameLen)

@@ -48,6 +48,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoCodec: REAL decode/resize of JDK-encodable images; failure rows kept") {
+    import spark.implicits._
+    // real image payloads, generated in-test with the same JDK encoders
+    // the codec reads with — no external fixtures
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    val payloads = Seq(
+      (0L, png(20, 12), "image"),
+      (1L, bmp(8, 5), "image"),
+      (2L, "not an image at all".getBytes("UTF-8"), "audio"))
+      .toDF("doc_id", "payload", "media_type")
+    val got = Multimodal.decodeFeatures(payloads, Multimodal.ImageIoCodec)
+      .select("doc_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 20, 12, 1)))
+    assert(got(1L) == ((1L, 8, 5, 1)))
+    assert(got(2L) == ((2L, -1, -1, -1))) // undecodable: kept, flagged
+    // features: luminance histogram sums to 1 for real images, zeros else
+    val feats = Multimodal.decodeFeatures(payloads, Multimodal.ImageIoCodec)
+      .select("doc_id", "feat").as[(Long, Array[Float])].collect().toMap
+    assert(math.abs(feats(0L).sum - 1.0f) < 1e-3)
+    assert(feats(2L).forall(_ == 0f))
+    // real resize: re-encoded PNG round-trips with the target dimensions
+    val resized = Multimodal.resize(payloads, 10, 6, Multimodal.ImageIoCodec)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    assert(!resized.contains(2L)) // undecodable rows dropped from resize
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0L)))
+    assert(back.getWidth == 10 && back.getHeight == 6)
+    // determinism: same payload → identical re-encoded bytes
+    val resized2 = Multimodal.resize(payloads, 10, 6, Multimodal.ImageIoCodec)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    assert(resized(0L).toSeq == resized2(0L).toSeq)
+  }
+
   test("sampleFrames: one row per sampled frame, strides respected, bytes partition") {
     import spark.implicits._
     val all = Multimodal.sampleFrames(Multimodal.withPayload(docs), stride = 1)
