@@ -108,6 +108,56 @@ object StreamingKg {
       }
   }
 
+  /** State for [[exactDedupStream]]: the representative (first-seen
+    * minimal) doc_id and its text for each content hash.
+    */
+  final case class DedupState(repId: Long, text: String)
+
+  /** Streaming EXACT dedup at ingest — the incremental form of
+    * `Dedup.exact` for a landing-zone document stream: documents are
+    * keyed by xxhash64(text) (hash-first, same as the batch operator),
+    * per-hash state holds the first-seen representative (id + text for
+    * collision verification), and every arriving document is emitted
+    * exactly once as (doc_id, rep_id, is_dup) — is_dup = an
+    * earlier-arriving document had identical text. A 64-bit hash
+    * collision with DIFFERENT text falls back to "not a duplicate":
+    * never a false merge; the rare colliding text stays its own
+    * representative on every occurrence (conservative direction — a
+    * missed dedup, ~2⁻⁶⁴ per pair, not a lost document).
+    *
+    * State is bounded by distinct content hashes; at scale back the
+    * state store with RocksDB and age out via the timeout parameter on
+    * a wrapper — kept minimal here because dedup state, unlike
+    * conversation state, is legitimately append-only.
+    */
+  def exactDedupStream(docs: Dataset[(Long, String)]): Dataset[(Long, Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey { case (_, text) =>
+      // engine-owned stable hash (graft invariant: never JVM hashCode)
+      graft.nlp.Hashes.fnv1a64(text)
+    }.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: Long, rows: Iterator[(Long, String)], state: GroupState[DedupState]) =>
+        val out = Vector.newBuilder[(Long, Long, Boolean)]
+        var cur = state.getOption
+        // deterministic within-batch order: ascending doc_id
+        rows.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          cur match {
+            case Some(s) if s.text == text =>
+              out += ((id, s.repId, true))
+            case Some(s) =>
+              // hash collision, different text: keep as its own doc
+              out += ((id, id, false))
+            case None =>
+              cur = Some(DedupState(id, text))
+              out += ((id, id, false))
+          }
+        }
+        cur.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark
     * (late turns beyond the watermark are dropped from their window).
     */

@@ -81,6 +81,36 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: cross-batch rep assignment, exactly-once per doc") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingKg.exactDedupStream(source.toDS())
+      .toDF("doc_id", "rep_id", "is_dup")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs + one within-batch duplicate
+      source.addData((10L, "alpha beta"), (11L, "gamma"), (12L, "alpha beta"))
+      q.processAllAvailable()
+      val b1 = spark.table("stream_dedup")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(b1 == Set((10L, 10L, false), (11L, 11L, false), (12L, 10L, true)))
+      // batch 2: a cross-batch duplicate of doc 10 + a fresh doc
+      source.addData((20L, "alpha beta"), (21L, "delta"))
+      q.processAllAvailable()
+      val b2 = spark.table("stream_dedup")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(b2 == b1 ++ Set((20L, 10L, true), (21L, 21L, false)))
+      // parity with the batch operator on the full accumulated corpus
+      val batch = graft.ops.Dedup.exact(
+        Seq((10L, "alpha beta"), (11L, "gamma"), (12L, "alpha beta"),
+          (20L, "alpha beta"), (21L, "delta")).toDF("doc_id", "text"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(batch.map(r => (r._1, r._2)) == b2.map(r => (r._1, r._2)))
+    } finally q.stop()
+  }
+
   test("triplesStateful rejects EventTimeTimeout up front") {
     import spark.implicits._
     val cfg = KgPipeline.Config("r", "op", "obj", window = 1, tokenizer = "generic")
