@@ -91,6 +91,25 @@ object SparkEntry {
     "kg_pair_sents" -> ((s, dir) =>
       RelationScoring.pairSentenceCounts(mentionsOf(s, dir), OpClass, ObjClass)),
     "kg_cc" -> ((s, dir) => kgCc(s, dir)),
+    // information gain of deterministic edge features against the gold
+    // rule — calculateInformationGain (`relations/__init__.py:173-263`)
+    // as a pure two-level aggregation, oracle-checked end to end (ig
+    // rounded to 6dp on both sides; the entropy arithmetic mirrors the
+    // Scala expression order so the doubles agree pre-rounding)
+    "kg_infogain" -> ((s, dir) => {
+      val gold = GoldPairs.map { case (a, b) =>
+        col("word1") === a && col("word2") === b
+      }.reduce(_ || _)
+      val labeled = kgEdges(s, dir).select(
+        when(gold, 1).otherwise(-1).as("target"),
+        map(
+          concat(lit("w1="), col("word1")), lit(1.0),
+          concat(lit("w2="), col("word2")), lit(1.0),
+          concat(lit("dist="), col("turn_dist")), lit(1.0)).as("features"))
+      InfoGain.compute(labeled)
+        .withColumn("ig", round(col("ig"), 6))
+        .select("feature", "ig")
+    }),
     "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
     "kg_crf_mentions" -> ((s, dir) => {
       // CRF route: broadcast-weights Viterbi with the dictionary-exact
@@ -515,6 +534,43 @@ object SparkEntry {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
         |)
         |SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""".stripMargin,
+
+    "kg_infogain" -> {
+      val goldIn = GoldPairs.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+      // entropy in the EXACT expression order of InfoGain.entropyExpr
+      // (−p·ln p / ln2 − (1−p)·ln(1−p) / ln2, ln2 as the same literal)
+      def hSql(p: String) =
+        s"""CASE WHEN ($p) <= 0.0 OR ($p) >= 1.0 THEN 0.0
+           |      ELSE -($p) * ln($p) / 0.6931471805599453
+           |           - (1.0 - ($p)) * ln(1.0 - ($p)) / 0.6931471805599453 END""".stripMargin
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT m1.word AS word1, m2.word AS word2,
+         |         CAST(m2.turn_idx - m1.turn_idx AS INT) AS turn_dist,
+         |         CASE WHEN (m1.word, m2.word) IN ($goldIn) THEN 1 ELSE -1 END AS target
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id
+         |   AND m2.turn_idx BETWEEN m1.turn_idx AND m1.turn_idx + 1
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |),
+         |feat AS (
+         |  SELECT 'w1=' || word1 AS feature, target FROM edges
+         |  UNION ALL SELECT 'w2=' || word2, target FROM edges
+         |  UNION ALL SELECT 'dist=' || CAST(turn_dist AS VARCHAR), target FROM edges
+         |),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |               CAST(sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_pos
+         |        FROM edges),
+         |pres AS (SELECT feature, count(*) AS n_f,
+         |                sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) AS n_f_pos
+         |         FROM feat GROUP BY 1)
+         |SELECT feature,
+         |  round((${hSql("n_pos / n")})
+         |    - (n_f / n) * (${hSql("CAST(n_f_pos AS DOUBLE) / n_f")})
+         |    - ((n - n_f) / n) * (CASE WHEN n - n_f = 0 THEN 0.0
+         |           ELSE ${hSql("(n_pos - n_f_pos) / (n - n_f)")} END), 6) AS ig
+         |FROM pres, tot""".stripMargin
+    },
 
     "dd_exact" ->
       """SELECT doc_id,
