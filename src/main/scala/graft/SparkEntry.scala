@@ -91,6 +91,21 @@ object SparkEntry {
     "kg_pair_sents" -> ((s, dir) =>
       RelationScoring.pairSentenceCounts(mentionsOf(s, dir), OpClass, ObjClass)),
     "kg_cc" -> ((s, dir) => kgCc(s, dir)),
+    // compute_stats_relations_distances (`data.py:125-167`): histogram of
+    // the minimum turn distance at which each unique relation key occurs
+    "kg_dist_hist" -> ((s, dir) => {
+      val e = kgEdges(s, dir).select(col("conv_id"),
+        concat(lit(s"$Rel|$ObjClass|"), col("word2"),
+          lit(s"|$OpClass|"), col("word1")).as("key"),
+        col("turn_dist").as("dist"))
+      DatasetOps.relationDistanceHistogram(e)
+        .select(col("min_dist"), col("count").cast("long").as("n_keys"))
+    }),
+    // StatsWriter-style per-class corpus summary (`utils/writers.py`)
+    "kg_stats" -> ((s, dir) =>
+      DatasetOps.mentionStats(mentionsOf(s, dir).toDF())
+        .select(col("class_id"), col("n_mentions"), col("n_convs"),
+          col("n_surfaces"), round(col("avg_len"), 6).as("avg_len"))),
     // information gain of deterministic edge features against the gold
     // rule — calculateInformationGain (`relations/__init__.py:173-263`)
     // as a pure two-level aggregation, oracle-checked end to end (ig
@@ -534,6 +549,31 @@ object SparkEntry {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
         |)
         |SELECT a AS node, min(b) AS comp FROM reach GROUP BY a""".stripMargin,
+
+    "kg_dist_hist" ->
+      s"""WITH $M,
+         |edges AS (
+         |  SELECT m1.conv_id,
+         |         '$Rel|$ObjClass|' || m2.word || '|$OpClass|' || m1.word AS key,
+         |         CAST(m2.turn_idx - m1.turn_idx AS INT) AS dist
+         |  FROM grouped m1 JOIN grouped m2
+         |    ON m1.conv_id = m2.conv_id
+         |   AND m2.turn_idx BETWEEN m1.turn_idx AND m1.turn_idx + 1
+         |   AND m1.class_id = '$OpClass' AND m2.class_id = '$ObjClass'
+         |),
+         |mins AS (SELECT conv_id, key, min(dist) AS min_dist
+         |         FROM edges GROUP BY 1, 2)
+         |SELECT min_dist, CAST(count(*) AS BIGINT) AS n_keys
+         |FROM mins GROUP BY 1""".stripMargin,
+
+    "kg_stats" ->
+      s"""WITH $M
+         |SELECT class_id,
+         |       CAST(count(*) AS BIGINT) AS n_mentions,
+         |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         |       CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_surfaces,
+         |       round(avg(length(text)), 6) AS avg_len
+         |FROM mentions GROUP BY 1""".stripMargin,
 
     "kg_infogain" -> {
       val goldIn = GoldPairs.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
