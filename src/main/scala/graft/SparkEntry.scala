@@ -125,6 +125,28 @@ object SparkEntry {
         .withColumn("ig", round(col("ig"), 6))
         .select("feature", "ig")
     }),
+    // MentionLevelEvaluator (`evaluators.py:372-497`) + the strictness
+    // algebra of Evaluation.compute (`evaluators.py:28-66`) as ONE
+    // declarative plan: gold = per-token gazetteer mentions, pred = the
+    // CRF route's BIO-decoded mentions (adjacent gazetteer tokens merge
+    // into one span — data.py:236-273), so merged runs naturally produce
+    // exact tp (single-token runs), fp+fp_ov (merged spans overlap gold
+    // but aren't exact) and fn+fn_ov (the swallowed gold tokens). The
+    // "document" key is conv#turn — offsets are turn-relative.
+    "kg_mention_eval" -> ((s, dir) => {
+      def byTurn(df: DataFrame): DataFrame = df.select(
+        concat(col("conv_id"), lit("#"), col("turn_idx")).as("conv_id"),
+        col("class_id"), col("begin"), col("text"))
+      // localCheckpoint both mention tables (small: one row per tagged
+      // token/run): the five counting branches of mentionPrfReport each
+      // reference BOTH inputs, and without materialization every branch
+      // re-executes the tokenize+Viterbi subtree (~10 recomputes,
+      // measured 32 s vs <1 s at sf0.001)
+      val gold = byTurn(mentionsOf(s, dir).toDF()).localCheckpoint(true)
+      val pred = byTurn(Crf.tag(tokenizedOf(s, dir),
+        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
+      Evaluation.mentionPrfReport(gold, pred)
+    }),
     "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
     "kg_crf_mentions" -> ((s, dir) => {
       // CRF route: broadcast-weights Viterbi with the dictionary-exact
@@ -502,6 +524,77 @@ object SparkEntry {
          |       string_agg(word, ' ' ORDER BY pos) AS text,
          |       string_agg(word, ' ' ORDER BY pos) AS norm
          |FROM runs GROUP BY conv_id, turn_idx, grp""".stripMargin,
+
+    // MentionLevelEvaluator + strictness algebra in pure SQL: gold =
+    // per-token mentions, pred = BIO-decoded runs (the kg_crf_mentions
+    // CTE), then exact/overlap set counting via EXISTS predicates and the
+    // Evaluation.compute arithmetic in the same expression order (f1 from
+    // UNROUNDED p/r; 2.0*x is an exact double scaling, so association
+    // with the p*r product cannot change the value; 6dp at the boundary).
+    "kg_mention_eval" ->
+      s"""WITH $M,
+         |runs AS (
+         |  SELECT conv_id, turn_idx, pos, word, b,
+         |         $gazCase AS class_id,
+         |         pos - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp
+         |  FROM toks
+         |  WHERE word IN ('merge','filter','scan','sort','table','vector','stream','batch')
+         |),
+         |g AS (
+         |  SELECT conv_id || '#' || turn_idx AS doc, class_id, "begin", text,
+         |         "begin" + length(text) AS e
+         |  FROM mentions
+         |),
+         |p AS (
+         |  SELECT conv_id || '#' || turn_idx AS doc,
+         |         arg_min(class_id, pos) AS class_id,
+         |         CAST(min(b) AS INT) AS "begin",
+         |         string_agg(word, ' ' ORDER BY pos) AS text,
+         |         CAST(min(b) + length(string_agg(word, ' ' ORDER BY pos)) AS INT) AS e
+         |  FROM runs GROUP BY conv_id, turn_idx, grp
+         |),
+         |fpset AS (SELECT * FROM p f WHERE NOT EXISTS (
+         |  SELECT 1 FROM g WHERE g.doc = f.doc AND g.class_id = f.class_id
+         |    AND g."begin" = f."begin" AND g.text = f.text)),
+         |fnset AS (SELECT * FROM g f WHERE NOT EXISTS (
+         |  SELECT 1 FROM p WHERE p.doc = f.doc AND p.class_id = f.class_id
+         |    AND p."begin" = f."begin" AND p.text = f.text)),
+         |c AS (SELECT
+         |  CAST((SELECT count(*) FROM p WHERE EXISTS (
+         |    SELECT 1 FROM g WHERE g.doc = p.doc AND g.class_id = p.class_id
+         |      AND g."begin" = p."begin" AND g.text = p.text)) AS BIGINT) AS tp,
+         |  CAST((SELECT count(*) FROM fpset) AS BIGINT) AS fp,
+         |  CAST((SELECT count(*) FROM fnset) AS BIGINT) AS fn,
+         |  CAST((SELECT count(*) FROM fpset f WHERE EXISTS (
+         |    SELECT 1 FROM g WHERE g.doc = f.doc AND g.class_id = f.class_id
+         |      AND f."begin" < g.e AND f.e > g."begin"
+         |      AND NOT (f."begin" = g."begin" AND f.text = g.text))) AS BIGINT) AS fp_ov,
+         |  CAST((SELECT count(*) FROM fnset f WHERE EXISTS (
+         |    SELECT 1 FROM p WHERE p.doc = f.doc AND p.class_id = f.class_id
+         |      AND f."begin" < p.e AND f.e > p."begin"
+         |      AND NOT (f."begin" = p."begin" AND f.text = p.text))) AS BIGINT) AS fn_ov),
+         |m AS (SELECT tp, fp, fn, fp_ov, fn_ov,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS pe,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS re,
+         |  CASE WHEN (tp + fp_ov + fn_ov) + (fp - fp_ov) = 0 THEN 0.0
+         |       ELSE CAST(tp + fp_ov + fn_ov AS DOUBLE) / ((tp + fp_ov + fn_ov) + (fp - fp_ov)) END AS po,
+         |  CASE WHEN (tp + fp_ov + fn_ov) + (fn - fn_ov) = 0 THEN 0.0
+         |       ELSE CAST(tp + fp_ov + fn_ov AS DOUBLE) / ((tp + fp_ov + fn_ov) + (fn - fn_ov)) END AS ro,
+         |  CASE WHEN CAST(tp + fp_ov + fn_ov AS DOUBLE) + (fp - fp_ov) = 0.0 THEN 0.0
+         |       ELSE (CAST(tp AS DOUBLE) + CAST(fp_ov + fn_ov AS DOUBLE) / 2.0)
+         |            / (CAST(tp + fp_ov + fn_ov AS DOUBLE) + (fp - fp_ov)) END AS ph,
+         |  CASE WHEN CAST(tp + fp_ov + fn_ov AS DOUBLE) + (fn - fn_ov) = 0.0 THEN 0.0
+         |       ELSE (CAST(tp AS DOUBLE) + CAST(fp_ov + fn_ov AS DOUBLE) / 2.0)
+         |            / (CAST(tp + fp_ov + fn_ov AS DOUBLE) + (fn - fn_ov)) END AS rh
+         |  FROM c)
+         |SELECT tp, fp, fn, fp_ov, fn_ov,
+         |  round(pe, 6) AS exact_p, round(re, 6) AS exact_r,
+         |  round(CASE WHEN pe + re = 0.0 THEN 0.0 ELSE 2.0 * ((pe * re) / (pe + re)) END, 6) AS exact_f,
+         |  round(po, 6) AS ov_p, round(ro, 6) AS ov_r,
+         |  round(CASE WHEN po + ro = 0.0 THEN 0.0 ELSE 2.0 * ((po * ro) / (po + ro)) END, 6) AS ov_f,
+         |  round(ph, 6) AS half_p, round(rh, 6) AS half_r,
+         |  round(CASE WHEN ph + rh = 0.0 THEN 0.0 ELSE 2.0 * ((ph * rh) / (ph + rh)) END, 6) AS half_f
+         |FROM m""".stripMargin,
 
     "kg_scored" ->
       s"""WITH $M,

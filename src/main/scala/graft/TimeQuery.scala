@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query timing probe: run ONE driver query N times in one warm JVM
+  * and print each rep's wall seconds — the complement of graft.Bench
+  * (whole suite, min-of-2) for isolating a single query's cost from
+  * suite-order effects (cache population, session state, ambient noise).
+  *
+  *   sbt -batch "runMain graft.TimeQuery <queryName> [sfDir] [reps]"
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, sec)
+    }
+    println(s"""{"query":"$name","sf":"$sfDir","rows":${times.head._1},""" +
+      s""""reps":[${times.map(t => f"${t._2}%.3f").mkString(",")}]}""")
+    SparkEntry.clearCaches()
+    spark.stop()
+  }
+}

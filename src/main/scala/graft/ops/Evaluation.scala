@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Distributed evaluators — nalaf's `learning/evaluators.py` re-expressed
@@ -83,6 +83,47 @@ object Evaluation {
         sum(when(col("kind") === "fn", 1).otherwise(0)).as("fn"),
         sum(when(col("kind") === "fp_ov", 1).otherwise(0)).as("fp_ov"),
         sum(when(col("kind") === "fn_ov", 1).otherwise(0)).as("fn_ov"))
+  }
+
+  /** One-row mention-level evaluation report: the five corpus-wide counts
+    * plus P/R/F under all three strictnesses — `Evaluation.compute`
+    * (`evaluators.py:28-66`) re-stated as Column arithmetic so the whole
+    * report (counting joins AND the strictness algebra) is ONE declarative
+    * plan, and hence DuckDB-oracle-able end to end. F1 is computed from
+    * the UNROUNDED precision/recall (matching [[compute]]); all doubles
+    * are rounded to 6dp at the output boundary.
+    */
+  def mentionPrfReport(gold: DataFrame, pred: DataFrame): DataFrame = {
+    def safeDiv(n: Column, d: Column): Column =
+      when(d === 0.0, lit(0.0)).otherwise(n / d)
+    def f1(p: Column, r: Column): Column =
+      round(lit(2.0) * safeDiv(p * r, p + r), 6)
+    val c = mentionCountsByDoc(gold, pred).agg(
+      sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+      sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
+    // exact: tp / (tp+fp), tp / (tp+fn)
+    val pE = safeDiv(col("tp").cast("double"), (col("tp") + col("fp")).cast("double"))
+    val rE = safeDiv(col("tp").cast("double"), (col("tp") + col("fn")).cast("double"))
+    // overlapping: overlap-matched fp/fn move into tp
+    val tpO = col("tp") + col("fp_ov") + col("fn_ov")
+    val fpO = col("fp") - col("fp_ov")
+    val fnO = col("fn") - col("fn_ov")
+    val pO = safeDiv(tpO.cast("double"), (tpO + fpO).cast("double"))
+    val rO = safeDiv(tpO.cast("double"), (tpO + fnO).cast("double"))
+    // half_overlapping: overlap matches count half
+    val num = col("tp").cast("double") +
+      (col("fp_ov") + col("fn_ov")).cast("double") / 2.0
+    val den = (col("tp") + col("fp_ov") + col("fn_ov")).cast("double")
+    val pH = safeDiv(num, den + fpO.cast("double"))
+    val rH = safeDiv(num, den + fnO.cast("double"))
+    c.select(
+      col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+      col("fn").cast("long").as("fn"),
+      col("fp_ov").cast("long").as("fp_ov"),
+      col("fn_ov").cast("long").as("fn_ov"),
+      round(pE, 6).as("exact_p"), round(rE, 6).as("exact_r"), f1(pE, rE).as("exact_f"),
+      round(pO, 6).as("ov_p"), round(rO, 6).as("ov_r"), f1(pO, rO).as("ov_f"),
+      round(pH, 6).as("half_p"), round(rH, 6).as("half_r"), f1(pH, rH).as("half_f"))
   }
 
   /** Scalar form: single agg action over [[mentionCountsByDoc]]. */

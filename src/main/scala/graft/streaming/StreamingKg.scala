@@ -74,8 +74,8 @@ object StreamingKg {
     // instead of letting setTimeoutDuration throw mid-stream.
     require(timeout != GroupStateTimeout.EventTimeTimeout(),
       "triplesStateful models idle-duration eviction: use " +
-        "ProcessingTimeTimeout (default) or NoTimeout; event-time timeouts " +
-        "need watermark+timestamp semantics this API does not expose")
+        "ProcessingTimeTimeout (default) or NoTimeout; for watermark-based " +
+        "eviction use triplesStatefulEventTime")
     val spark = turns.sparkSession
     import spark.implicits._
     val bcGaz = spark.sparkContext.broadcast(gaz)
@@ -88,22 +88,82 @@ object StreamingKg {
             state.remove()
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(ConvState(Nil, Set.empty))
-            val seen = prev.turns.map(_.turn_idx).toSet
-            val merged = prev.turns ++
-              newTurns.filterNot(t => seen(t.turn_idx)).toSeq
-                .distinctBy(_.turn_idx)
-            val g = bcGaz.value
-            val tagger: IndexedSeq[graft.model.Tok] => Seq[(String, Int, Int)] =
-              toks => toks.flatMap(t =>
-                g.get(t.word.toLowerCase).map(cls => (cls, t.begin, t.end)))
-            val all = KgPipeline.processConversation(convId, merged, cfg,
-              tagger, bcLin.value)
-            val fresh = all.filterNot(t => prev.emittedKeys(t.key))
-            state.update(ConvState(merged,
-              prev.emittedKeys ++ fresh.map(_.key)))
+            val fresh = mergeAndExtract(convId, newTurns, state, cfg,
+              bcGaz.value, bcLin.value)
             if (useTimeout) state.setTimeoutDuration(maxIdle)
-            fresh.iterator
+            fresh
+          }
+      }
+  }
+
+  /** Shared per-group body of the stateful extractors: merge the arriving
+    * turns into the accumulated state (first write per turn_idx wins),
+    * re-run the pure per-conversation extraction, emit only
+    * not-yet-emitted keys, and update the state. Timeout bookkeeping is
+    * the caller's (the two timeout disciplines differ).
+    */
+  private def mergeAndExtract(convId: String, newTurns: Iterator[Turn],
+                              state: GroupState[ConvState],
+                              cfg: KgPipeline.Config,
+                              gaz: Map[String, String],
+                              scorer: Option[RelationScoring.LinearModel])
+  : Iterator[TripleRow] = {
+    val prev = state.getOption.getOrElse(ConvState(Nil, Set.empty))
+    val seen = prev.turns.map(_.turn_idx).toSet
+    val merged = prev.turns ++
+      newTurns.filterNot(t => seen(t.turn_idx)).toSeq
+        .distinctBy(_.turn_idx)
+    val tagger: IndexedSeq[graft.model.Tok] => Seq[(String, Int, Int)] =
+      toks => toks.flatMap(t =>
+        gaz.get(t.word.toLowerCase).map(cls => (cls, t.begin, t.end)))
+    val all = KgPipeline.processConversation(convId, merged, cfg,
+      tagger, scorer)
+    val fresh = all.filterNot(t => prev.emittedKeys(t.key))
+    state.update(ConvState(merged, prev.emittedKeys ++ fresh.map(_.key)))
+    fresh.iterator
+  }
+
+  /** Event-time variant of [[triplesStateful]]: conversations are evicted
+    * when the WATERMARK passes their last turn's event time plus
+    * `idleGap` — the late-data discipline `setTimeoutDuration` cannot
+    * express (processing-time eviction races real late arrivals; an
+    * event-time timeout fires only once the watermark PROVES no turn
+    * older than the gap can still arrive). Requires an event-time
+    * watermark on `ts`, which this operator installs itself
+    * (`watermarkDelay` = how much event-time lateness the stream
+    * tolerates).
+    *
+    * The timeout timestamp is re-armed on every batch to
+    * max(last event time + idleGap, watermark + 1ms) — the +1 floor
+    * keeps the call legal when a conversation's events are already far
+    * behind the watermark (Spark requires a strictly-future timeout).
+    */
+  def triplesStatefulEventTime(turns: Dataset[Turn], cfg: KgPipeline.Config,
+                               gaz: Map[String, String],
+                               scorer: Option[RelationScoring.LinearModel] = None,
+                               watermarkDelay: String = "10 minutes",
+                               idleGapMs: Long = 30L * 60 * 1000): Dataset[TripleRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcGaz = spark.sparkContext.broadcast(gaz)
+    val bcLin = spark.sparkContext.broadcast(scorer)
+    turns.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (convId: String, newTurns: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val fresh = mergeAndExtract(convId, newTurns, state, cfg,
+              bcGaz.value, bcLin.value)
+            val lastEventMs = state.get.turns.iterator
+              .map(_.ts.getTime).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            fresh
           }
       }
   }
@@ -156,6 +216,61 @@ object StreamingKg {
         cur.foreach(state.update)
         out.result().iterator
     }
+  }
+
+  /** State for [[simhashPairsStream]]: every (doc_id, simhash) seen so
+    * far in one 16-bit block bucket.
+    */
+  final case class BlockState(entries: List[(Long, Long)])
+
+  /** Streaming NEAR-dup detection at ingest — the incremental form of
+    * `Dedup.simhashPairs`: each arriving document fans out to its four
+    * 16-bit SimHash blocks; per-(block-id, block-value) state keeps the
+    * (doc_id, simhash) of every document seen in that bucket, and the
+    * arrival emits (a, b, hamming) for each stored document within
+    * `maxHamming`. The pigeonhole argument is the batch operator's: any
+    * pair within hamming 3 of 64 bits shares at least one identical
+    * block, so the union over the four block streams covers every
+    * qualifying pair — a pair sharing MULTIPLE blocks is emitted once per
+    * shared block, and all of its emissions land in the SAME micro-batch
+    * (both fan-outs of a document ride with the document), so a per-batch
+    * `dropDuplicates` in the sink restores set semantics (parity with
+    * the batch operator is tested). Assumes unique doc_ids (the batch
+    * operator's contract).
+    *
+    * State grows with corpus size per bucket; at scale back the store
+    * with RocksDB — hot buckets (boilerplate-heavy corpora) are the
+    * skew to watch, the same hot-shingle phenomenon Dedup.ngramJaccard
+    * caps with its document-frequency filter.
+    */
+  def simhashPairsStream(docs: Dataset[(Long, String)],
+                         maxHamming: Int = 3): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text) =>
+      val feats = text.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(w => (graft.nlp.Hashes.fnv1a64(w), 1))
+      val h = graft.nlp.Hashes.simhash(feats)
+      (0 until 4).map(b => (b.toLong << 32 | ((h >>> (b * 16)) & 0xffffL), id, h))
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[BlockState]) =>
+          val out = Vector.newBuilder[(Long, Long, Int)]
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          // deterministic within-batch order: ascending doc_id
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, h) =>
+            entries.foreach { case (pid, ph) =>
+              if (pid != id) {
+                val d = graft.nlp.Hashes.hamming(ph, h)
+                if (d <= maxHamming)
+                  out += ((math.min(pid, id), math.max(pid, id), d))
+              }
+            }
+            entries = (id, h) :: entries
+          }
+          state.update(BlockState(entries))
+          out.result().iterator
+      }
   }
 
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark

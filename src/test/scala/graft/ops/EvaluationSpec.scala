@@ -61,6 +61,21 @@ class EvaluationSpec extends SparkSpec {
     assert(r.recall == (3 + 6 / 2.0) / 11)
   }
 
+  test("mentionPrfReport: one declarative row == counts + compute() on every strictness") {
+    val row = Evaluation.mentionPrfReport(gold, pred).collect().head
+    val c = Evaluation.mentionCounts(gold, pred)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((c.tp, c.fp, c.fn, c.fpOv, c.fnOv)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val strict = Seq("exact" -> 5, "overlapping" -> 8, "half_overlapping" -> 11)
+    strict.foreach { case (s, i) =>
+      val prf = Evaluation.compute(c, s)
+      assert(row.getDouble(i) == r6(prf.precision), s"$s precision")
+      assert(row.getDouble(i + 1) == r6(prf.recall), s"$s recall")
+      assert(row.getDouble(i + 2) == r6(prf.fMeasure), s"$s f1")
+    }
+  }
+
   // ---- EntityEvaluator UNKNOWN-penalization modes (evaluators.py:635-673)
 
   /** Fixture: A matches by norm; B/B' share span+text but have NO norm;

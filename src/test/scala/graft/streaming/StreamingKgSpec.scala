@@ -124,6 +124,80 @@ class StreamingKgSpec extends SparkSpec {
     assert(e.getMessage.contains("ProcessingTimeTimeout"))
   }
 
+  test("event-time stateful: watermark-based eviction drops state, late re-arrival re-extracts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = KgPipeline.Config("r", "op", "obj", window = 1, tokenizer = "generic")
+    val g = Map("merge" -> "op", "table" -> "obj")
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Turn]
+    // 1-minute lateness tolerance, 1-minute idle gap: a conversation is
+    // evicted once the watermark proves nothing within its gap can arrive
+    val out = StreamingKg.triplesStatefulEventTime(source.toDS(), cfg, g,
+      watermarkDelay = "1 minute", idleGapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("et_triples")
+      .outputMode("append").start()
+    val base = 1735689600000L
+    def turn(c: String, i: Int, text: String, tsMs: Long) =
+      Turn(c, i, "user", text, None, new java.sql.Timestamp(tsMs))
+    try {
+      // batch 1: complete pair at t=0s/30s → one triple
+      source.addData(turn("cA", 0, "please merge it", base),
+        turn("cA", 1, "into the table", base + 30000))
+      q.processAllAvailable()
+      assert(spark.table("et_triples").count() == 1)
+      // batches 2+3: unrelated traffic pushes the watermark past cA's
+      // timeout (30s + 60s gap); the timeout fires on the NEXT batch
+      // after the watermark advances — cA's state is then removed
+      source.addData(turn("cZ", 0, "noise", base + 600000))
+      q.processAllAvailable()
+      source.addData(turn("cZ", 1, "noise", base + 610000))
+      q.processAllAvailable()
+      assert(spark.table("et_triples").count() == 1) // eviction emits nothing
+      // batch 4: the SAME conversation id re-appears with fresh event
+      // times — evicted state means the emitted-keys memory is gone, so
+      // the same canonical key is extracted again (exactly the re-open
+      // semantics an idle-gap eviction implies)
+      source.addData(turn("cA", 0, "please merge it", base + 700000),
+        turn("cA", 1, "into the table", base + 701000))
+      q.processAllAvailable()
+      val rows = spark.table("et_triples")
+        .select("conv_id", "key").as[(String, String)].collect()
+      assert(rows.count(_._1 == "cA") == 2, "state must have been evicted")
+      assert(rows.map(_._2).distinct.length == 1)
+    } finally q.stop()
+  }
+
+  test("streaming simhash pairs == batch simhashPairs on the accumulated corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = (0 until 40).map(i => s"tok$i")
+    val d1 = words.mkString(" ")
+    val d2 = d1 // exact dup, hamming 0
+    val d3 = (words.updated(5, "CHANGED")).mkString(" ") // near-dup
+    val d4 = (0 until 40).map(i => s"other$i").mkString(" ") // unrelated
+    val corpus = Seq((1L, d1), (2L, d4), (3L, d2), (4L, d3))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingKg.simhashPairsStream(source.toDS(), maxHamming = 16)
+      .toDF("a", "b", "hamming")
+      .writeStream.format("memory").queryName("stream_simhash")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, d1), (2L, d4)) // batch 1
+      q.processAllAvailable()
+      source.addData((3L, d2), (4L, d3)) // batch 2: cross-batch pairs
+      q.processAllAvailable()
+      // multi-block emissions of a pair land in the same batch →
+      // set semantics restored by distinct (the sink-side dropDuplicates)
+      val streamed = spark.table("stream_simhash")
+        .as[(Long, Long, Int)].collect().toSet
+      val batch = graft.ops.Dedup.simhashPairs(
+        corpus.toDF("doc_id", "text"), maxHamming = 16)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (a, b, h) => a == 1L && b == 3L && h == 0 })
+    } finally q.stop()
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
