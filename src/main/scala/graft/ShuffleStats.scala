@@ -40,12 +40,14 @@ object ShuffleStats {
       }
     })
     val rows = SparkEntry.queries(name)(spark, sfDir).count()
-    // let the listener bus drain before reading the counters
-    Thread.sleep(2000)
+    SparkEntry.clearCaches()
+    // the listener bus is ASYNC: read the counters only after stop(),
+    // which drains every queue — a fixed sleep can silently undercount
+    // on heavy runs, and this tool is the byte-level evidence for
+    // plan-shape claims, so the totals must be complete by construction
+    spark.stop()
     println(s"""{"query":"$name","sf":"$sfDir","rows":$rows,""" +
       s""""tasks":${tasks.get},"shuffle_write_bytes":${written.get},""" +
       s""""shuffle_read_bytes":${read.get}}""")
-    SparkEntry.clearCaches()
-    spark.stop()
   }
 }

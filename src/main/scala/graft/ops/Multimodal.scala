@@ -108,9 +108,14 @@ object Multimodal {
         else {
           val r = readers.next()
           r.setInput(iis)
+          // NonFatal, not just IOException: imageio readers throw
+          // RuntimeExceptions on corrupt payloads whose magic bytes ARE
+          // recognized (IllegalArgument/IndexOutOfBounds/CMMException/
+          // NegativeArraySize...) — a single bad image must degrade to
+          // None, never fail the task on every retry
           try Some((r.getWidth(0), r.getHeight(0),
             math.max(1, r.getNumImages(true))))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
           finally r.dispose()
         }
       } finally iis.close()
@@ -119,7 +124,7 @@ object Multimodal {
     private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       ensureHeadless()
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
     override def features(bytes: Array[Byte]): Array[Float] =

@@ -173,17 +173,27 @@ object StreamingKg {
     */
   final case class DedupState(repId: Long, text: String)
 
-  /** Streaming EXACT dedup at ingest — the incremental form of
+  /** Streaming EXACT dedup at ingest — the incremental counterpart of
     * `Dedup.exact` for a landing-zone document stream: documents are
-    * keyed by xxhash64(text) (hash-first, same as the batch operator),
-    * per-hash state holds the first-seen representative (id + text for
-    * collision verification), and every arriving document is emitted
-    * exactly once as (doc_id, rep_id, is_dup) — is_dup = an
-    * earlier-arriving document had identical text. A 64-bit hash
-    * collision with DIFFERENT text falls back to "not a duplicate":
-    * never a false merge; the rare colliding text stays its own
-    * representative on every occurrence (conservative direction — a
-    * missed dedup, ~2⁻⁶⁴ per pair, not a lost document).
+    * keyed by a 64-bit content hash (fnv1a64 — the engine-owned hash,
+    * callable per-key in groupByKey; the batch operator uses Catalyst's
+    * xxhash64 column — both are only BUCKETING, exactness comes from the
+    * text comparison, so the choice is invisible in the output),
+    * per-hash state holds the representative (id + text for collision
+    * verification), and every arriving document is emitted exactly once
+    * as (doc_id, rep_id, is_dup) — is_dup = an earlier-arriving document
+    * had identical text. A 64-bit hash collision with DIFFERENT text
+    * falls back to "not a duplicate": never a false merge; the rare
+    * colliding text stays its own representative on every occurrence
+    * (conservative direction — a missed dedup, ~2⁻⁶⁴ per pair, not a
+    * lost document).
+    *
+    * Representative semantics differ from batch BY NECESSITY: batch
+    * assigns rep = min doc_id over the whole group; a stream cannot
+    * retract rows already emitted in append mode, so rep = FIRST-SEEN
+    * (within one micro-batch, the minimal id — arrivals are processed in
+    * ascending id order; across batches, arrival order wins). The parity
+    * test feeds ascending ids, where the two coincide.
     *
     * State is bounded by distinct content hashes; at scale back the
     * state store with RocksDB and age out via the timeout parameter on

@@ -68,10 +68,17 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "bmp", baos)
       baos.toByteArray
     }
+    // magic bytes of a real PNG followed by garbage: a reader IS
+    // selected, then throws mid-decode — must degrade to the failure
+    // row, never fail the task (the codec catches NonFatal, not just
+    // IOException, because imageio throws RuntimeExceptions on corrupt
+    // recognized-format payloads)
+    val corrupt = png(20, 12).take(40) ++ Array.fill[Byte](64)(0x5a)
     val payloads = Seq(
       (0L, png(20, 12), "image"),
       (1L, bmp(8, 5), "image"),
-      (2L, "not an image at all".getBytes("UTF-8"), "audio"))
+      (2L, "not an image at all".getBytes("UTF-8"), "audio"),
+      (3L, corrupt, "image"))
       .toDF("doc_id", "payload", "media_type")
     val got = Multimodal.decodeFeatures(payloads, Multimodal.ImageIoCodec)
       .select("doc_id", "width", "height", "n_frames")
@@ -79,15 +86,18 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0L) == ((0L, 20, 12, 1)))
     assert(got(1L) == ((1L, 8, 5, 1)))
     assert(got(2L) == ((2L, -1, -1, -1))) // undecodable: kept, flagged
+    assert(got.contains(3L)) // corrupt-after-header: kept, no crash
     // features: luminance histogram sums to 1 for real images, zeros else
     val feats = Multimodal.decodeFeatures(payloads, Multimodal.ImageIoCodec)
       .select("doc_id", "feat").as[(Long, Array[Float])].collect().toMap
     assert(math.abs(feats(0L).sum - 1.0f) < 1e-3)
     assert(feats(2L).forall(_ == 0f))
+    assert(feats(3L).forall(_ == 0f)) // pixel decode fails → zero vector
     // real resize: re-encoded PNG round-trips with the target dimensions
     val resized = Multimodal.resize(payloads, 10, 6, Multimodal.ImageIoCodec)
       .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
     assert(!resized.contains(2L)) // undecodable rows dropped from resize
+    assert(!resized.contains(3L))
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(resized(0L)))
     assert(back.getWidth == 10 && back.getHeight == 6)

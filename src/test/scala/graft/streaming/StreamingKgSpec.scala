@@ -108,6 +108,14 @@ class StreamingKgSpec extends SparkSpec {
           (20L, "alpha beta"), (21L, "delta")).toDF("doc_id", "text"))
         .as[(Long, Long, Boolean)].collect().toSet
       assert(batch.map(r => (r._1, r._2)) == b2.map(r => (r._1, r._2)))
+      // batch 3: a SMALLER id than the representative arrives late —
+      // streaming rep is FIRST-SEEN (append mode cannot retract emitted
+      // rows), so doc 5 maps to 10; batch Dedup.exact would pick min=5
+      source.addData((5L, "alpha beta"))
+      q.processAllAvailable()
+      val b3 = spark.table("stream_dedup")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(b3 == b2 + ((5L, 10L, true)))
     } finally q.stop()
   }
 
