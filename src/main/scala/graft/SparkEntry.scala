@@ -138,12 +138,19 @@ object SparkEntry {
         concat(col("conv_id"), lit("#"), col("turn_idx")).as("conv_id"),
         col("class_id"), col("begin"), col("text"))
       // localCheckpoint both mention tables (small: one row per tagged
-      // token/run): the five counting branches of mentionPrfReport each
-      // reference BOTH inputs, and without materialization every branch
-      // re-executes the tokenize+Viterbi subtree (~10 recomputes,
-      // measured 32 s vs <1 s at sf0.001)
-      val gold = byTurn(mentionsOf(s, dir).toDF()).localCheckpoint(true)
-      val pred = byTurn(Crf.tag(tokenizedOf(s, dir),
+      // token/run): the counting join references BOTH inputs on both
+      // array sides, and without materialization each reference
+      // re-executes the tokenize+Viterbi subtree (measured 32 s vs <1 s
+      // at sf0.001). The tokenized input is repartitioned first: the
+      // sf parquet is one file → one input split, which would run the
+      // CPU-heavy tokenize+Viterbi checkpoint stages single-task (the
+      // same AQE/split-starvation the fused pipeline guards against)
+      // repartition the RAW turns (cheap rows), so tokenization itself
+      // already runs at full width on the shuffle's reduce side
+      val toks = Segmentation.tokenized(
+        turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
+      val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(true)
+      val pred = byTurn(Crf.tag(toks,
         Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
       Evaluation.mentionPrfReport(gold, pred)
     }),

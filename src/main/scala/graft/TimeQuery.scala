@@ -23,6 +23,17 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-stage wall durations — where a slow rep actually spends time
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b)
+        stages.add((i.stageId, ms.getOrElse(-1L), i.numTasks,
+          i.name.take(60).replace("\"", "'")))
+      }
+    })
     val fn = SparkEntry.queries(name)
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val times = (0 until reps).map { _ =>
@@ -31,9 +42,14 @@ object TimeQuery {
       val sec = (System.nanoTime() - t0) / 1e9
       (n, sec)
     }
-    println(s"""{"query":"$name","sf":"$sfDir","rows":${times.head._1},""" +
-      s""""reps":[${times.map(t => f"${t._2}%.3f").mkString(",")}]}""")
     SparkEntry.clearCaches()
-    spark.stop()
+    spark.stop() // drain the listener bus before reading stage rows
+    import scala.jdk.CollectionConverters._
+    val top = stages.asScala.toSeq.sortBy(-_._2).take(10)
+      .map { case (id, ms, nt, nm) =>
+        s"""{"stage":$id,"ms":$ms,"tasks":$nt,"name":"$nm"}""" }
+    println(s"""{"query":"$name","sf":"$sfDir","rows":${times.head._1},""" +
+      s""""reps":[${times.map(t => f"${t._2}%.3f").mkString(",")}],""" +
+      s""""slowest_stages":[${top.mkString(",")}]}""")
   }
 }

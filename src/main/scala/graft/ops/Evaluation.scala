@@ -43,46 +43,47 @@ object Evaluation {
     * exact = same (class, begin, text); overlap = same class, char ranges
     * intersect, NOT exact (`data.py:1923-1941`).
     *
-    * Per-document counts as ONE DataFrame (one action for the caller) —
-    * the five join branches union into a single plan instead of five
-    * separate count() jobs re-executing the inputs.
+    * Plan shape: both sides collapse to ONE array row per
+    * (conv_id, class_id) group, meet in ONE full-outer sort-merge join,
+    * and all five counts come from codegen'd higher-order array
+    * functions (`filter`/`exists`) over the two span arrays — group
+    * sizes are bounded by mentions-per-document-per-class, so the
+    * nested scan is cheap and the whole evaluation is 3 shuffles. (The
+    * first formulation — five semi/anti/theta-join branches unioned —
+    * was 13 exchanges + 6 broadcast builds and ~10× slower on the
+    * barrier-latency-dominated sandbox.) Exact-match counts are
+    * symmetric (both sides are distinct sets, matching is a bijection),
+    * so tp is computed once from the pred side and reused for fn.
     */
   def mentionCountsByDoc(gold: DataFrame, pred: DataFrame): DataFrame = {
-    val g = gold.select(col("conv_id"), col("class_id"), col("begin"),
-      col("text"), (col("begin") + length(col("text"))).as("end")).distinct()
-    val p = pred.select(col("conv_id"), col("class_id"), col("begin"),
-      col("text"), (col("begin") + length(col("text"))).as("end")).distinct()
-
-    val exactKeys = Seq("conv_id", "class_id", "begin", "text")
-    val tpSet = p.join(g, exactKeys, "left_semi")
-    val fpSet = p.join(g, exactKeys, "left_anti")
-    val fnSet = g.join(p, exactKeys, "left_anti")
-
-    def overlapping(a: DataFrame, b: DataFrame): DataFrame = {
-      val bb = b.select(col("conv_id").as("conv_id2"), col("class_id").as("class_id2"),
-        col("begin").as("begin2"), col("text").as("text2"), col("end").as("end2"))
-      a.join(bb,
-          col("conv_id") === col("conv_id2") && col("class_id") === col("class_id2") &&
-          col("begin") < col("end2") && col("end") > col("begin2") &&
-          !(col("begin") === col("begin2") && col("text") === col("text2")))
-        .select(col("conv_id"), col("class_id"), col("begin"), col("text"))
-        .distinct()
-    }
-    def tagged(df: DataFrame, kind: String): DataFrame =
-      df.select(col("conv_id"), lit(kind).as("kind"))
-    tagged(tpSet, "tp")
-      .unionByName(tagged(fpSet, "fp"))
-      .unionByName(tagged(fnSet, "fn"))
-      // fp_ov: false positives that overlap some gold; fn_ov: vice versa
-      .unionByName(tagged(overlapping(fpSet, g), "fp_ov"))
-      .unionByName(tagged(overlapping(fnSet, p), "fn_ov"))
+    def spans(df: DataFrame, out: String): DataFrame = df
+      .select(col("conv_id"), col("class_id"), col("begin"), col("text"),
+        (col("begin") + length(col("text"))).as("end")).distinct()
+      .groupBy("conv_id", "class_id")
+      .agg(collect_list(struct(col("begin"), col("end"), col("text"))).as(out))
+    def exactEq(x: Column, y: Column): Column =
+      x("begin") === y("begin") && x("text") === y("text")
+    def overlapsNotExact(x: Column, y: Column): Column =
+      x("begin") < y("end") && x("end") > y("begin") && !exactEq(x, y)
+    val ga = col("ga"); val pa = col("pa")
+    val tpC = coalesce(size(filter(pa,
+      x => exists(ga, y => exactEq(x, y)))), lit(0))
+    val fpOvC = coalesce(size(filter(pa,
+      x => !exists(ga, y => exactEq(x, y)) &&
+        exists(ga, y => overlapsNotExact(x, y)))), lit(0))
+    val fnOvC = coalesce(size(filter(ga,
+      y => !exists(pa, x => exactEq(x, y)) &&
+        exists(pa, x => overlapsNotExact(y, x)))), lit(0))
+    spans(gold, "ga")
+      .join(spans(pred, "pa"), Seq("conv_id", "class_id"), "full_outer")
+      .select(col("conv_id"),
+        tpC.as("tp"),
+        (coalesce(size(pa), lit(0)) - tpC).as("fp"),
+        (coalesce(size(ga), lit(0)) - tpC).as("fn"),
+        fpOvC.as("fp_ov"), fnOvC.as("fn_ov"))
       .groupBy("conv_id")
-      .agg(
-        sum(when(col("kind") === "tp", 1).otherwise(0)).as("tp"),
-        sum(when(col("kind") === "fp", 1).otherwise(0)).as("fp"),
-        sum(when(col("kind") === "fn", 1).otherwise(0)).as("fn"),
-        sum(when(col("kind") === "fp_ov", 1).otherwise(0)).as("fp_ov"),
-        sum(when(col("kind") === "fn_ov", 1).otherwise(0)).as("fn_ov"))
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+        sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
   }
 
   /** One-row mention-level evaluation report: the five corpus-wide counts
