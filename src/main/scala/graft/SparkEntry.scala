@@ -23,6 +23,17 @@ object SparkEntry {
 
   // ---- shared pipeline pieces -----------------------------------------
 
+  /** Scan-width note: the driver's sf parquet tables are single
+    * one-row-group files — UNSPLITTABLE, so narrow pipelines scanning
+    * them run their maps as ONE task regardless of core count. We do NOT
+    * blanket-repartition here: measured on this steal-bound sandbox, a
+    * 32-wide rebalance made the tiny per-stage workloads SLOWER (32×
+    * scheduler/steal exposure per stage dwarfs ~2 s of parallelizable
+    * CPU — dd_ngram best 2.75 s narrow vs 8.3 s rebalanced). A real lake
+    * table arrives in many splits and never needs it. The one query
+    * whose serial CPU is large enough to win from explicit width
+    * (kg_mention_eval's double tagging) repartitions locally.
+    */
   private def turnsOf(spark: SparkSession, dir: String) =
     Segmentation.turns(Transcripts.fromDocuments(spark, dir))
 
@@ -141,12 +152,11 @@ object SparkEntry {
       // token/run): the counting join references BOTH inputs on both
       // array sides, and without materialization each reference
       // re-executes the tokenize+Viterbi subtree (measured 32 s vs <1 s
-      // at sf0.001). The tokenized input is repartitioned first: the
-      // sf parquet is one file → one input split, which would run the
-      // CPU-heavy tokenize+Viterbi checkpoint stages single-task (the
-      // same AQE/split-starvation the fused pipeline guards against)
-      // repartition the RAW turns (cheap rows), so tokenization itself
-      // already runs at full width on the shuffle's reduce side
+      // at sf0.001). The raw turns are repartitioned so the two
+      // CPU-heavy tagging checkpoints run at full width — this query
+      // tokenizes TWICE (gold + pred), the one serial-CPU load on the
+      // driver suite big enough to win from explicit width (16.3 s
+      // single-task → 3.8 s best at sf0.1/32c).
       val toks = Segmentation.tokenized(
         turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
       val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(true)
