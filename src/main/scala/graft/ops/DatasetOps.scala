@@ -16,6 +16,20 @@ object DatasetOps {
     turns.join(mentions.select("conv_id", "turn_idx").distinct(),
       Seq("conv_id", "turn_idx"), "left_semi")
 
+  /** `Dataset.delete_subclass_annotations` (`data.py:431-450`): drop
+    * mentions whose subclass is in the given set. String-compared after
+    * cast (a numeric subclass 0 is "0", never conflated with a missing
+    * one — the trap the reference's `labelize` warns about); mentions
+    * without a subclass column or with a null subclass are always kept,
+    * matching `ann.subclass not in subclasses` for subclass=None against
+    * non-None sets.
+    */
+  def deleteSubclassAnnotations(mentions: DataFrame,
+                                subclasses: Set[String]): DataFrame =
+    if (!mentions.columns.contains("subclass") || subclasses.isEmpty) mentions
+    else mentions.filter(col("subclass").isNull ||
+      !col("subclass").cast("string").isin(subclasses.toSeq: _*))
+
   /** `Dataset.prune_sentences(p)` (`data.py:408-430`): keep sentences
     * containing a mention plus a seeded p-fraction of the rest
     * (training-time negative downsampling; the reference uses seedless

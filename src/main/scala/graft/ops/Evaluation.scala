@@ -127,6 +127,84 @@ object Evaluation {
       round(pH, 6).as("half_p"), round(rH, 6).as("half_r"), f1(pH, rH).as("half_f"))
   }
 
+  /** Per-SUBCLASS mention-level breakdown —
+    * `MentionLevelEvaluator(subclass_analysis=True)`
+    * (`evaluators.py:413-489`). Matching ignores the subclass (same
+    * class+span semantics as the TOTAL counts); only the ATTRIBUTION of
+    * each count to a label differs:
+    *
+    *  - label = str(subclass) unless 'None'/'False' → class_id
+    *    (`labelize`, `evaluators.py:414-421`; subclass "0" stays "0" —
+    *    the reference explicitly dodges the 0-vs-False trap).
+    *  - a PREDICTED entity overlapping gold of a different label is
+    *    re-attributed to the gold's label — the reference literally
+    *    mutates `ann_b.subclass = ann_a.subclass` during the overlap
+    *    pass (`evaluators.py:451-456`) and counts with the repaired
+    *    label afterwards. Our deterministic equivalent: the effective
+    *    label is the LAST overlapping gold in document (begin) order,
+    *    matching the reference's iteration-order last-write-wins.
+    *  - GOLD entities always count under their own label.
+    *
+    * Output: (conv_id, label, tp, fp, fn, fp_ov, fn_ov) — one row per
+    * document × label; the TOTAL row of the reference is
+    * [[mentionCountsByDoc]]. Input `subclass` column is optional and
+    * nullable. Same single-join array plan shape as the TOTAL counts.
+    */
+  def mentionCountsBySubclassByDoc(gold: DataFrame, pred: DataFrame): DataFrame = {
+    def withLabel(df: DataFrame): DataFrame = {
+      val sub = if (df.columns.contains("subclass"))
+        col("subclass").cast("string") else lit(null).cast("string")
+      df.withColumn("label",
+        when(sub.isNull || sub.isin("None", "False"), col("class_id"))
+          .otherwise(sub))
+    }
+    def spans(df: DataFrame, out: String): DataFrame = withLabel(df)
+      .select(col("conv_id"), col("class_id"), col("begin"), col("text"),
+        (col("begin") + length(col("text"))).as("end"), col("label")).distinct()
+      .groupBy("conv_id", "class_id")
+      .agg(sort_array(collect_list(
+        struct(col("begin"), col("end"), col("text"), col("label")))).as(out))
+    def exactEq(x: Column, y: Column): Column =
+      x("begin") === y("begin") && x("text") === y("text")
+    def overlapsNotExact(x: Column, y: Column): Column =
+      x("begin") < y("end") && x("end") > y("begin") && !exactEq(x, y)
+    val ga = col("ga"); val pa = col("pa")
+    def kindStruct(label: Column, tp: Column, fp: Column, fpOv: Column,
+                   fn: Column, fnOv: Column): Column =
+      struct(label.as("label"), tp.as("tp"), fp.as("fp"), fpOv.as("fp_ov"),
+        fn.as("fn"), fnOv.as("fn_ov"))
+    val predKinds = transform(pa, x => {
+      val isExact = exists(ga, y => exactEq(x, y))
+      val ovs = filter(ga, y => overlapsNotExact(x, y))
+      // arrays are sorted by (begin, ...): element_at(-1) = the last
+      // overlapping gold in document order = the reference's final
+      // repaired subclass
+      val eff = when(size(ovs) > 0, element_at(ovs, -1)("label"))
+        .otherwise(x("label"))
+      kindStruct(eff,
+        when(isExact, 1).otherwise(0),
+        when(isExact, 0).otherwise(1),
+        when(!isExact && size(ovs) > 0, 1).otherwise(0),
+        lit(0), lit(0))
+    })
+    val goldKinds = transform(ga, y => {
+      val isExact = exists(pa, x => exactEq(x, y))
+      val ov = exists(pa, x => overlapsNotExact(y, x))
+      kindStruct(y("label"), lit(0), lit(0), lit(0),
+        when(isExact, 0).otherwise(1),
+        when(!isExact && ov, 1).otherwise(0))
+    })
+    spans(gold, "ga")
+      .join(spans(pred, "pa"), Seq("conv_id", "class_id"), "full_outer")
+      .select(col("conv_id"),
+        explode(coalesce(concat(predKinds, goldKinds), predKinds, goldKinds))
+          .as("k"))
+      .groupBy(col("conv_id"), col("k.label").as("label"))
+      .agg(sum(col("k.tp")).as("tp"), sum(col("k.fp")).as("fp"),
+        sum(col("k.fn")).as("fn"), sum(col("k.fp_ov")).as("fp_ov"),
+        sum(col("k.fn_ov")).as("fn_ov"))
+  }
+
   /** Scalar form: single agg action over [[mentionCountsByDoc]]. */
   def mentionCounts(gold: DataFrame, pred: DataFrame): Counts = {
     val r = mentionCountsByDoc(gold, pred)

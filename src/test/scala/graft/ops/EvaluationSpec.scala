@@ -76,6 +76,69 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("subclass breakdown: labelize + overlap re-attribution (evaluators.py:413-489)") {
+    import spark.implicits._
+    // gold: A(0,"aaaa",sub 9)  B(10,"bbbb",null)  C(20,"cc dd",8)
+    //       D(30,"dddd",1)     E(33,"eeee",2)
+    val gold = Seq(
+      ("doc_1", "e_x", 0, "aaaa", "9"),
+      ("doc_1", "e_x", 10, "bbbb", null),
+      ("doc_1", "e_x", 20, "cc dd", "8"),
+      ("doc_1", "e_x", 30, "dddd", "1"),
+      ("doc_1", "e_x", 33, "eeee", "2")
+    ).toDF("conv_id", "class_id", "begin", "text", "subclass")
+    // pred: A'(0,"aaaa",7) exact-matches A -> tp under ITS OWN label 7
+    //       P2(21,"c",null) overlaps C only -> fp+fp_ov RE-ATTRIBUTED to 8
+    //       P3(40,"zzzz",5) no match -> fp under 5
+    //       P4(32,"ddd",null) overlaps D AND E -> last-in-order gold (E)
+    //         wins the re-attribution (the reference's mutation loop)
+    val pred = Seq(
+      ("doc_1", "e_x", 0, "aaaa", "7"),
+      ("doc_1", "e_x", 21, "c", null),
+      ("doc_1", "e_x", 40, "zzzz", "5"),
+      ("doc_1", "e_x", 32, "ddd", null)
+    ).toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val got = Evaluation.mentionCountsBySubclassByDoc(gold, pred)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("7") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got("8") == ((0L, 1L, 1L, 1L, 1L)))
+    assert(got("5") == ((0L, 1L, 0L, 0L, 0L)))
+    assert(got("e_x") == ((0L, 0L, 1L, 0L, 0L))) // B: null subclass -> class label
+    assert(got("1") == ((0L, 0L, 1L, 0L, 1L))) // D: swallowed by P4, overlap
+    assert(got("2") == ((0L, 1L, 1L, 1L, 1L))) // E: P4 re-attributed here
+    // gold A's own label exists as an all-zero row (A was claimed as tp
+    // under the pred's label): the reference also materializes zero-count
+    // evaluations for every label present (dict.fromkeys, :434)
+    assert(got("9") == ((0L, 0L, 0L, 0L, 0L)))
+    assert(got.size == 7)
+    // per-label counts decompose the TOTAL row exactly
+    val total = Evaluation.mentionCounts(gold.drop("subclass"), pred.drop("subclass"))
+    assert(got.values.map(_._1).sum == total.tp)
+    assert(got.values.map(_._2).sum == total.fp)
+    assert(got.values.map(_._3).sum == total.fn)
+    assert(got.values.map(_._4).sum == total.fpOv)
+    assert(got.values.map(_._5).sum == total.fnOv)
+  }
+
+  test("deleteSubclassAnnotations: drops listed subclasses, keeps null and unlisted") {
+    import spark.implicits._
+    val m = Seq(
+      ("c1", "e_x", 0, "a", "9"), ("c1", "e_x", 5, "b", "0"),
+      ("c1", "e_x", 9, "c", null)
+    ).toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val kept = DatasetOps.deleteSubclassAnnotations(m, Set("9"))
+      .select("text").as[String].collect().toSet
+    assert(kept == Set("b", "c"))
+    // subclass "0" is a real subclass, not a missing one
+    val kept0 = DatasetOps.deleteSubclassAnnotations(m, Set("0"))
+      .select("text").as[String].collect().toSet
+    assert(kept0 == Set("a", "c"))
+    // no subclass column: no-op
+    assert(DatasetOps.deleteSubclassAnnotations(
+      m.drop("subclass"), Set("9")).count() == 3)
+  }
+
   // ---- EntityEvaluator UNKNOWN-penalization modes (evaluators.py:635-673)
 
   /** Fixture: A matches by norm; B/B' share span+text but have NO norm;
