@@ -30,6 +30,36 @@ object DatasetOps {
     else mentions.filter(col("subclass").isNull ||
       !col("subclass").cast("string").isin(subclasses.toSeq: _*))
 
+  /** `Dataset.generate_top_stats_array` (`data.py:312-331`): the top-N
+    * most frequent lowercased mention words of one class. The reference
+    * prints a JSON dict; we return the ranked DataFrame
+    * (word, count) — `orderBy.limit` IS the operator. `alphaOnly`
+    * mirrors `lc_word.isalpha()`.
+    */
+  def topMentionWords(mentions: DataFrame, classId: String, topNr: Int = 10,
+                      alphaOnly: Boolean = true): DataFrame = {
+    val words = mentions.filter(col("class_id") === classId)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(lower(col("w")).as("word"))
+    (if (alphaOnly) words.filter(col("word").rlike("^\\p{L}+$")) else words)
+      .groupBy("word").agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("word"))
+      .limit(topNr)
+  }
+
+  /** `Dataset.clean_subclasses` (`data.py:335-340`): reset every
+    * subclass (the reference sets False; relationally that's null).
+    */
+  def cleanSubclasses(mentions: DataFrame): DataFrame =
+    if (!mentions.columns.contains("subclass")) mentions
+    else mentions.withColumn("subclass", lit(null).cast("string"))
+
+  /** `Dataset.get_unique_mentions` (`data.py:755-763`): the distinct
+    * gold mention surface strings.
+    */
+  def uniqueMentionTexts(mentions: DataFrame): DataFrame =
+    mentions.select(col("text")).distinct()
+
   /** `Dataset.prune_sentences(p)` (`data.py:408-430`): keep sentences
     * containing a mention plus a seeded p-fraction of the rest
     * (training-time negative downsampling; the reference uses seedless

@@ -63,4 +63,24 @@ class DatasetOpsSpec extends SparkSpec {
     assert(tr.count(_.startsWith("b")) == 20) // round(30*0.66)
     assert(DatasetOps.stratifiedSplit(keys, 0.66)._1 == tr)
   }
+
+  test("topMentionWords / cleanSubclasses / uniqueMentionTexts (data.py:312,335,755)") {
+    import spark.implicits._
+    val m = Seq(
+      ("c1", "e_x", "Gene alpha", "9"), ("c1", "e_x", "alpha", null),
+      ("c1", "e_x", "beta 42", "0"), ("c1", "e_y", "alpha", null)
+    ).toDF("conv_id", "class_id", "text", "subclass")
+    // class-filtered, lowercased, alpha-only ("42" dropped), ranked;
+    // count ties broken by word for determinism
+    val top = DatasetOps.topMentionWords(m, "e_x", topNr = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("alpha", 2L), ("beta", 1L)))
+    assert(DatasetOps.topMentionWords(m, "e_x", topNr = 10, alphaOnly = false)
+      .as[(String, Long)].collect().toMap.get("42").contains(1L))
+    assert(DatasetOps.cleanSubclasses(m)
+      .filter(org.apache.spark.sql.functions.col("subclass").isNotNull)
+      .count() == 0)
+    assert(DatasetOps.uniqueMentionTexts(m).as[String].collect().toSet ==
+      Set("Gene alpha", "alpha", "beta 42"))
+  }
 }
