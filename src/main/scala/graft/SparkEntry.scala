@@ -152,13 +152,14 @@ object SparkEntry {
       // token/run): the counting join references BOTH inputs on both
       // array sides, and without materialization each reference
       // re-executes the tokenize+Viterbi subtree (measured 32 s vs <1 s
-      // at sf0.001). The raw turns are repartitioned so the two
-      // CPU-heavy tagging checkpoints run at full width — this query
-      // tokenizes TWICE (gold + pred), the one serial-CPU load on the
-      // driver suite big enough to win from explicit width (16.3 s
-      // single-task → 3.8 s best at sf0.1/32c).
+      // at sf0.001). The raw turns are repartitioned so the CPU-heavy
+      // tagging checkpoints run at full width (16.3 s single-task →
+      // 3.8 s best at sf0.1/32c), and the tokenized sentences are
+      // themselves checkpointed so BOTH taggers share one tokenization
+      // pass (eager DataFrame actions do not share shuffle output).
       val toks = Segmentation.tokenized(
         turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .localCheckpoint(true)
       val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(true)
       val pred = byTurn(Crf.tag(toks,
         Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)

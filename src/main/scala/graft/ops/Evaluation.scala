@@ -55,16 +55,22 @@ object Evaluation {
     * symmetric (both sides are distinct sets, matching is a bijection),
     * so tp is computed once from the pred side and reused for fn.
     */
+  /** The matching predicates shared by the TOTAL counting and the
+    * subclass breakdown — one definition so a boundary change can never
+    * diverge the two (the breakdown's per-label rows must always
+    * decompose the TOTAL counts, asserted in EvaluationSpec).
+    */
+  private def exactEq(x: Column, y: Column): Column =
+    x("begin") === y("begin") && x("text") === y("text")
+  private def overlapsNotExact(x: Column, y: Column): Column =
+    x("begin") < y("end") && x("end") > y("begin") && !exactEq(x, y)
+
   def mentionCountsByDoc(gold: DataFrame, pred: DataFrame): DataFrame = {
     def spans(df: DataFrame, out: String): DataFrame = df
       .select(col("conv_id"), col("class_id"), col("begin"), col("text"),
         (col("begin") + length(col("text"))).as("end")).distinct()
       .groupBy("conv_id", "class_id")
       .agg(collect_list(struct(col("begin"), col("end"), col("text"))).as(out))
-    def exactEq(x: Column, y: Column): Column =
-      x("begin") === y("begin") && x("text") === y("text")
-    def overlapsNotExact(x: Column, y: Column): Column =
-      x("begin") < y("end") && x("end") > y("begin") && !exactEq(x, y)
     val ga = col("ga"); val pa = col("pa")
     val tpC = coalesce(size(filter(pa,
       x => exists(ga, y => exactEq(x, y)))), lit(0))
@@ -152,8 +158,16 @@ object Evaluation {
     */
   def mentionCountsBySubclassByDoc(gold: DataFrame, pred: DataFrame): DataFrame = {
     def withLabel(df: DataFrame): DataFrame = {
-      val sub = if (df.columns.contains("subclass"))
-        col("subclass").cast("string") else lit(null).cast("string")
+      val sub = if (!df.columns.contains("subclass"))
+        lit(null).cast("string")
+      else df.schema("subclass").dataType match {
+        // BooleanType: Spark casts false to "false", not Python's
+        // str(False) == "False" — normalize so labelize's fallback fires
+        case org.apache.spark.sql.types.BooleanType =>
+          when(col("subclass") === false, lit(null).cast("string"))
+            .otherwise(lit("True"))
+        case _ => col("subclass").cast("string")
+      }
       df.withColumn("label",
         when(sub.isNull || sub.isin("None", "False"), col("class_id"))
           .otherwise(sub))
@@ -164,10 +178,6 @@ object Evaluation {
       .groupBy("conv_id", "class_id")
       .agg(sort_array(collect_list(
         struct(col("begin"), col("end"), col("text"), col("label")))).as(out))
-    def exactEq(x: Column, y: Column): Column =
-      x("begin") === y("begin") && x("text") === y("text")
-    def overlapsNotExact(x: Column, y: Column): Column =
-      x("begin") < y("end") && x("end") > y("begin") && !exactEq(x, y)
     val ga = col("ga"); val pa = col("pa")
     def kindStruct(label: Column, tp: Column, fp: Column, fpOv: Column,
                    fn: Column, fnOv: Column): Column =
@@ -194,11 +204,19 @@ object Evaluation {
         when(isExact, 0).otherwise(1),
         when(!isExact && ov, 1).otherwise(0))
     })
+    // the reference's label universe is computed from PRE-mutation
+    // subclasses (`evaluators.py:426-429`), so a label that appears only
+    // on re-attributed predictions still gets a zero-count evaluation
+    // row (dict.fromkeys, `:434`) — emit a zero struct under every
+    // pred's ORIGINAL label to preserve those rows
+    val predZeros = transform(pa, x =>
+      kindStruct(x("label"), lit(0), lit(0), lit(0), lit(0), lit(0)))
     spans(gold, "ga")
       .join(spans(pred, "pa"), Seq("conv_id", "class_id"), "full_outer")
       .select(col("conv_id"),
-        explode(coalesce(concat(predKinds, goldKinds), predKinds, goldKinds))
-          .as("k"))
+        explode(coalesce(
+          concat(predKinds, predZeros, goldKinds),
+          concat(predKinds, predZeros), goldKinds)).as("k"))
       .groupBy(col("conv_id"), col("k.label").as("label"))
       .agg(sum(col("k.tp")).as("tp"), sum(col("k.fp")).as("fp"),
         sum(col("k.fn")).as("fn"), sum(col("k.fp_ov")).as("fp_ov"),

@@ -85,18 +85,23 @@ class EvaluationSpec extends SparkSpec {
       ("doc_1", "e_x", 10, "bbbb", null),
       ("doc_1", "e_x", 20, "cc dd", "8"),
       ("doc_1", "e_x", 30, "dddd", "1"),
-      ("doc_1", "e_x", 33, "eeee", "2")
+      ("doc_1", "e_x", 33, "eeee", "2"),
+      ("doc_1", "e_x", 50, "ffff", "3")
     ).toDF("conv_id", "class_id", "begin", "text", "subclass")
     // pred: A'(0,"aaaa",7) exact-matches A -> tp under ITS OWN label 7
     //       P2(21,"c",null) overlaps C only -> fp+fp_ov RE-ATTRIBUTED to 8
     //       P3(40,"zzzz",5) no match -> fp under 5
     //       P4(32,"ddd",null) overlaps D AND E -> last-in-order gold (E)
     //         wins the re-attribution (the reference's mutation loop)
+    // P5(51,"ff",6) overlaps F(3) -> its counts re-attribute to 3, and
+    // its ORIGINAL label 6 must still appear as a zero-count row (the
+    // reference's label universe is computed pre-mutation, :426-434)
     val pred = Seq(
       ("doc_1", "e_x", 0, "aaaa", "7"),
       ("doc_1", "e_x", 21, "c", null),
       ("doc_1", "e_x", 40, "zzzz", "5"),
-      ("doc_1", "e_x", 32, "ddd", null)
+      ("doc_1", "e_x", 32, "ddd", null),
+      ("doc_1", "e_x", 51, "ff", "6")
     ).toDF("conv_id", "class_id", "begin", "text", "subclass")
     val got = Evaluation.mentionCountsBySubclassByDoc(gold, pred)
       .as[(String, String, Long, Long, Long, Long, Long)].collect()
@@ -111,7 +116,9 @@ class EvaluationSpec extends SparkSpec {
     // under the pred's label): the reference also materializes zero-count
     // evaluations for every label present (dict.fromkeys, :434)
     assert(got("9") == ((0L, 0L, 0L, 0L, 0L)))
-    assert(got.size == 7)
+    assert(got("3") == ((0L, 1L, 1L, 1L, 1L))) // F swallowed P5's counts
+    assert(got("6") == ((0L, 0L, 0L, 0L, 0L))) // P5's own label: zero row
+    assert(got.size == 9)
     // per-label counts decompose the TOTAL row exactly
     val total = Evaluation.mentionCounts(gold.drop("subclass"), pred.drop("subclass"))
     assert(got.values.map(_._1).sum == total.tp)
@@ -119,6 +126,24 @@ class EvaluationSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == total.fn)
     assert(got.values.map(_._4).sum == total.fpOv)
     assert(got.values.map(_._5).sum == total.fnOv)
+  }
+
+  test("subclass breakdown: BooleanType subclass follows str(False)/str(True) labelize") {
+    import spark.implicits._
+    // the reference's clean_subclasses convention stores subclass=False;
+    // Spark casts false to "false" (not Python's "False") — the
+    // operator must still fall back to class_id for false, and label
+    // "True" (capitalized, = str(True)) for true
+    val gold = Seq(("d1", "e_x", 0, "aaaa", false))
+      .toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val pred = Seq(("d1", "e_x", 0, "aaaa", true), ("d1", "e_x", 9, "zz", false))
+      .toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val got = Evaluation.mentionCountsBySubclassByDoc(gold, pred)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("True") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got("e_x") == ((0L, 1L, 0L, 0L, 0L)))
+    assert(got.size == 2)
   }
 
   test("deleteSubclassAnnotations: drops listed subclasses, keeps null and unlisted") {
