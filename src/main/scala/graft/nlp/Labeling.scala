@@ -123,32 +123,42 @@ object Labeling {
     }.toVector
   }
 
-  /** Decoded mention: [begin, end) char span with mean-of-marginals
-    * confidence (`utils/qmath.py:9-19` arithmetic mean).
+  /** Decoded mention: [begin, end) char span with aggregated-marginals
+    * confidence (`utils/qmath.py:9-31`; arithmetic mean by default).
     */
   final case class Decoded(begin: Int, end: Int, confidence: Double)
+
+  /** `utils/qmath.py:9-19`. */
+  def arithmeticMean(xs: Seq[Double]): Double = xs.sum / xs.length
+
+  /** `utils/qmath.py:21-31` — the reference's alternative confidence
+    * aggregator for decoded runs (downweights runs with one weak token).
+    */
+  def harmonicMean(xs: Seq[Double]): Double = xs.length / xs.map(1.0 / _).sum
 
   /** Gaps-and-islands decode of predicted label runs into mention spans —
     * exact port of `Dataset.form_predicted_annotations`
     * (`data.py:236-273`): a run starts at any non-'O' label and extends
     * while the next label is not one of the literal values 'O', 'B', 'A'.
+    * `aggregator` is the reference's pluggable `aggregator_function`
+    * (`data.py:236`) over the run's token marginals.
     */
-  def decode(sent: Seq[Tok], labels: Seq[String], confidences: Seq[Double]): Vector[Decoded] = {
+  def decode(sent: Seq[Tok], labels: Seq[String], confidences: Seq[Double],
+             aggregator: Seq[Double] => Double = arithmeticMean): Vector[Decoded] = {
     val out = Vector.newBuilder[Decoded]
     var index = 0
     val n = sent.length
     while (index < n) {
       if (labels(index) != "O") {
         val start = sent(index).begin
-        var confSum = confidences(index)
-        var confN = 1
+        val confs = Vector.newBuilder[Double]
+        confs += confidences(index)
         var j = index
         while (j + 1 < n && !Set("O", "B", "A").contains(labels(j + 1))) {
           j += 1
-          confSum += confidences(j)
-          confN += 1
+          confs += confidences(j)
         }
-        out += Decoded(start, sent(j).end, confSum / confN)
+        out += Decoded(start, sent(j).end, aggregator(confs.result()))
         index = j
       }
       index += 1

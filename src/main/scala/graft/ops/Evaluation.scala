@@ -105,9 +105,14 @@ object Evaluation {
       when(d === 0.0, lit(0.0)).otherwise(n / d)
     def f1(p: Column, r: Column): Column =
       round(lit(2.0) * safeDiv(p * r, p + r), 6)
+    // coalesce: empty inputs aggregate to NULL sums — the report must
+    // still be one well-formed all-zero row
     val c = mentionCountsByDoc(gold, pred).agg(
-      sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
-      sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
+      coalesce(sum("tp"), lit(0L)).as("tp"),
+      coalesce(sum("fp"), lit(0L)).as("fp"),
+      coalesce(sum("fn"), lit(0L)).as("fn"),
+      coalesce(sum("fp_ov"), lit(0L)).as("fp_ov"),
+      coalesce(sum("fn_ov"), lit(0L)).as("fn_ov"))
     // exact: tp / (tp+fp), tp / (tp+fn)
     val pE = safeDiv(col("tp").cast("double"), (col("tp") + col("fp")).cast("double"))
     val rE = safeDiv(col("tp").cast("double"), (col("tp") + col("fn")).cast("double"))

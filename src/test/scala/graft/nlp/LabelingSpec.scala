@@ -76,6 +76,17 @@ class LabelingSpec extends AnyFunSuite {
       Vector((0, 2), (3, 5), (6, 14)))
   }
 
+  test("decode: pluggable harmonic-mean aggregator (qmath.py:21-31)") {
+    val toks = Vector(Tok0(0, 0, 2), Tok0(1, 3, 5))
+    val sent = toks.map(x => graft.model.Tok(x.tid, "xx", x.b, x.e))
+    val d = Labeling.decode(sent, Seq("T", "P"), Seq(0.5, 1.0),
+      Labeling.harmonicMean)
+    // harmonic(0.5, 1.0) = 2 / (2 + 1) = 2/3 < arithmetic 0.75
+    assert(d == Vector(Labeling.Decoded(0, 5, 2.0 / 3.0)))
+    assert(Labeling.harmonicMean(Seq(4.0, 4.0)) == 4.0)
+    assert(Labeling.arithmeticMean(Seq(0.4, 0.6)) == 0.5)
+  }
+
   private case class Tok0(tid: Int, b: Int, e: Int)
 
   test("decode → relabel round-trip on BIO output") {

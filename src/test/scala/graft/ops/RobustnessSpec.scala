@@ -103,6 +103,22 @@ class RobustnessSpec extends SparkSpec {
     assert(comp(10L) == 10L && comp(11L) == 10L)
   }
 
+  test("mention evaluation on empty gold / pred / both sides") {
+    import spark.implicits._
+    val g = Seq(("d", "e_x", 0, "aaaa")).toDF("conv_id", "class_id", "begin", "text")
+    val none = Seq.empty[(String, String, Int, String)]
+      .toDF("conv_id", "class_id", "begin", "text")
+    assert(Evaluation.mentionCounts(g, none) == Evaluation.Counts(0, 0, 1, 0, 0))
+    assert(Evaluation.mentionCounts(none, g) == Evaluation.Counts(0, 1, 0, 0, 0))
+    assert(Evaluation.mentionCounts(none, none) == Evaluation.Counts(0, 0, 0, 0, 0))
+    // the one-row report stays well-formed (all zeros, no nulls) on
+    // empty-everything input
+    val r = Evaluation.mentionPrfReport(none, none).collect().head
+    assert((0 until 14).forall(i => !r.isNullAt(i)))
+    assert(r.getLong(0) == 0L && r.getDouble(5) == 0.0)
+    assert(Evaluation.mentionCountsBySubclassByDoc(none, none).count() == 0)
+  }
+
   test("dedup and similarity ops on singleton / empty inputs") {
     import spark.implicits._
     val one = Seq((1L, "alpha beta")).toDF("doc_id", "text")
