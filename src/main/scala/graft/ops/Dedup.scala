@@ -117,7 +117,7 @@ object Dedup {
     * shuffles `bands`× the DOC COUNT, not `bands`× the corpus shingle
     * data (CurationSpec pins the two-column schema).
     */
-  private[ops] def bandedBuckets(shingled: DataFrame, numPerm: Int,
+  private[graft] def bandedBuckets(shingled: DataFrame, numPerm: Int,
                                  bands: Int): DataFrame = {
     val spark = shingled.sparkSession
     import spark.implicits._

@@ -283,6 +283,60 @@ object StreamingKg {
       }
   }
 
+  /** State for [[minhashCandidatesStream]]: doc ids seen in one band
+    * bucket — ids ONLY, the same payload-free contract as the batch
+    * operator's band rows.
+    */
+  final case class BucketState(ids: List[Long])
+
+  /** Streaming MinHash-LSH near-dup CANDIDATES at ingest — the
+    * incremental form of the batch `Dedup.bandedBuckets` candidate
+    * generation: each arriving document fans out to its `bands` bucket
+    * keys (identical shingle/signature/bucket arithmetic to the batch
+    * operator, so the candidate sets are EQUAL — tested), per-bucket
+    * state keeps doc ids only, and an arrival emits (a, b) for every
+    * id already in the bucket. Like the batch operator, candidates are
+    * a superset of the true near-dups: exact-Jaccard verification joins
+    * the id pairs back to a persisted (doc_id, shingles) table — in a
+    * stream that's the downstream foreachBatch join, keeping shingle
+    * payloads out of both the shuffle AND the state store. A pair
+    * sharing several bands emits once per shared band, all in the batch
+    * where the later doc arrives — per-batch dropDuplicates in the sink
+    * restores set semantics.
+    */
+  def minhashCandidatesStream(docs: Dataset[(Long, String)],
+                              shingleN: Int = 3, numPerm: Int = 64,
+                              bands: Int = 16): Dataset[(Long, Long)] = {
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text) =>
+      val words = text.split("\\s+").toIndexedSeq
+      val sig = graft.nlp.Hashes.minhash(
+        graft.nlp.Hashes.shingles(words, shingleN).toArray, numPerm)
+      (0 until bands).iterator.map { b =>
+        var h = graft.nlp.Hashes.mix64(b.toLong + 0x9e3779b97f4a7c15L)
+        var k = 0
+        while (k < rows) { h = graft.nlp.Hashes.mix64(h ^ sig(b * rows + k)); k += 1 }
+        (h, id)
+      }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rowsIt: Iterator[(Long, Long)], state: GroupState[BucketState]) =>
+          val out = Vector.newBuilder[(Long, Long)]
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          rowsIt.toSeq.sortBy(_._2).foreach { case (_, id) =>
+            ids.foreach { pid =>
+              if (pid != id) out += ((math.min(pid, id), math.max(pid, id)))
+            }
+            ids = id :: ids
+          }
+          state.update(BucketState(ids))
+          out.result().iterator
+      }
+  }
+
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark
     * (late turns beyond the watermark are dropped from their window).
     */

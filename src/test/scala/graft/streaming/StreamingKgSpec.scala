@@ -206,6 +206,45 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash candidates == batch bandedBuckets candidates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = (0 until 60).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.updated(7, "CHANGED").mkString(" ")), // near-dup of 1
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")), // unrelated
+      (4L, words.mkString(" "))) // exact dup of 1
+    // batch candidate set: the same bucket arithmetic, self-joined
+    val shingled = corpus.toDF("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.nlp.Hashes.shingles(
+          text.split("\\s+").toIndexedSeq, 3).toArray)
+      }.toDF("doc_id", "shingles")
+    val banded = graft.ops.Dedup.bandedBuckets(shingled, numPerm = 64, bands = 16)
+    val batchCands = banded
+      .join(banded.select($"doc_id".as("b"), $"bucket"), Seq("bucket"))
+      .filter($"doc_id" < $"b")
+      .select($"doc_id".as("a"), $"b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(batchCands.contains((1L, 4L)) && batchCands.contains((1L, 2L)))
+    // streamed across two batches
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingKg.minhashCandidatesStream(source.toDS())
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("stream_minhash")
+      .outputMode("append").start()
+    try {
+      source.addData(corpus(0), corpus(2))
+      q.processAllAvailable()
+      source.addData(corpus(1), corpus(3))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_minhash")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batchCands)
+    } finally q.stop()
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
