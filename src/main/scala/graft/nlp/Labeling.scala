@@ -128,37 +128,62 @@ object Labeling {
     */
   final case class Decoded(begin: Int, end: Int, confidence: Double)
 
-  /** `utils/qmath.py:9-19`. */
-  def arithmeticMean(xs: Seq[Double]): Double = xs.sum / xs.length
+  /** `utils/qmath.py:9-19` (raises IndexError on empty — mirrored). */
+  def arithmeticMean(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "no element in array")
+    xs.sum / xs.length
+  }
 
   /** `utils/qmath.py:21-31` — the reference's alternative confidence
     * aggregator for decoded runs (downweights runs with one weak token).
+    * Empty input raises (IndexError in the reference). Documented
+    * deviation: an exactly-0.0 element yields 0.0 here (IEEE 1/0 =
+    * Infinity), where Python raises ZeroDivisionError — the silent
+    * value is the conservative "no confidence" direction.
     */
-  def harmonicMean(xs: Seq[Double]): Double = xs.length / xs.map(1.0 / _).sum
+  def harmonicMean(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "no element in array")
+    xs.length / xs.map(1.0 / _).sum
+  }
+
+  /** Stable function value of [[arithmeticMean]] — decode's default;
+    * recognized by reference equality for the scalar fast path.
+    */
+  val ArithmeticMean: Seq[Double] => Double = arithmeticMean
+
+  private val RunStops = Set("O", "B", "A")
 
   /** Gaps-and-islands decode of predicted label runs into mention spans —
     * exact port of `Dataset.form_predicted_annotations`
     * (`data.py:236-273`): a run starts at any non-'O' label and extends
     * while the next label is not one of the literal values 'O', 'B', 'A'.
     * `aggregator` is the reference's pluggable `aggregator_function`
-    * (`data.py:236`) over the run's token marginals.
+    * (`data.py:236`) over the run's token marginals. The default
+    * arithmetic mean keeps the zero-allocation scalar fast path — decode
+    * sits in the fused pipeline's allocation-bound hot loop; only a
+    * custom aggregator pays for materializing the run's confidences.
     */
   def decode(sent: Seq[Tok], labels: Seq[String], confidences: Seq[Double],
-             aggregator: Seq[Double] => Double = arithmeticMean): Vector[Decoded] = {
+             aggregator: Seq[Double] => Double = ArithmeticMean): Vector[Decoded] = {
+    val fastMean = aggregator eq ArithmeticMean
     val out = Vector.newBuilder[Decoded]
     var index = 0
     val n = sent.length
     while (index < n) {
       if (labels(index) != "O") {
         val start = sent(index).begin
-        val confs = Vector.newBuilder[Double]
-        confs += confidences(index)
+        var confSum = confidences(index)
+        var confN = 1
+        var confs: scala.collection.mutable.Builder[Double, Vector[Double]] = null
+        if (!fastMean) { confs = Vector.newBuilder[Double]; confs += confidences(index) }
         var j = index
-        while (j + 1 < n && !Set("O", "B", "A").contains(labels(j + 1))) {
+        while (j + 1 < n && !RunStops.contains(labels(j + 1))) {
           j += 1
-          confs += confidences(j)
+          if (fastMean) { confSum += confidences(j); confN += 1 }
+          else confs += confidences(j)
         }
-        out += Decoded(start, sent(j).end, aggregator(confs.result()))
+        val conf = if (fastMean) confSum / confN else aggregator(confs.result())
+        out += Decoded(start, sent(j).end, conf)
         index = j
       }
       index += 1

@@ -108,6 +108,26 @@ object Dedup {
     pairs
   }
 
+  /** Hashed shingle set of one document — the tokenization + shingling
+    * every minhash consumer (batch AND streaming) goes through, so the
+    * candidate arithmetic can never diverge between them.
+    */
+  private[graft] def docShingles(text: String, shingleN: Int): Array[Long] =
+    Hashes.shingles(text.split("\\s+").toIndexedSeq, shingleN).toArray
+
+  /** One band's bucket key from a minhash signature: the band index
+    * salted and mix64-folded with that band's `rows` signature slots —
+    * THE band fold, shared by the batch band rows and
+    * `StreamingKg.minhashCandidatesStream` (their candidate-set equality
+    * holds by construction, and is also tested).
+    */
+  private[graft] def bandBucket(sig: Array[Long], band: Int, rows: Int): Long = {
+    var h = Hashes.mix64(band.toLong + 0x9e3779b97f4a7c15L)
+    var k = 0
+    while (k < rows) { h = Hashes.mix64(h ^ sig(band * rows + k)); k += 1 }
+    h
+  }
+
   /** (doc_id, bucket) band rows — and NOTHING else. The bucket packs the
     * band index with a mix64 fold of that band's `rows` signature slots,
     * so equal band slices always collide (a 64-bit bucket collision
@@ -126,12 +146,7 @@ object Dedup {
     shingled.select(col("doc_id"), col("shingles")).as[(Long, Array[Long])]
       .flatMap { case (id, sh) =>
         val sig = Hashes.minhash(sh, numPerm)
-        (0 until bands).iterator.map { b =>
-          var h = Hashes.mix64(b.toLong + 0x9e3779b97f4a7c15L)
-          var k = 0
-          while (k < rows) { h = Hashes.mix64(h ^ sig(b * rows + k)); k += 1 }
-          (id, h)
-        }
+        (0 until bands).iterator.map(b => (id, bandBucket(sig, b, rows)))
       }.toDF("doc_id", "bucket")
   }
 
@@ -155,10 +170,8 @@ object Dedup {
     import spark.implicits._
     require(numPerm % bands == 0)
     val shingled = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val words = text.split("\\s+").toIndexedSeq
-        (id, Hashes.shingles(words, shingleN).toArray)
-      }.toDF("doc_id", "shingles")
+      .map { case (id, text) => (id, docShingles(text, shingleN)) }
+      .toDF("doc_id", "shingles")
       // read by the band projection and twice by the verification join
       .persist()
     val banded = bandedBuckets(shingled, numPerm, bands)

@@ -303,6 +303,13 @@ object StreamingKg {
     * sharing several bands emits once per shared band, all in the batch
     * where the later doc arrives — per-batch dropDuplicates in the sink
     * restores set semantics.
+    *
+    * Same operational caveats as [[simhashPairsStream]]: assumes unique
+    * doc_ids (a re-ingested id would re-emit its pairs in a LATER batch,
+    * beyond per-batch dedup); per-bucket state is append-only under
+    * NoTimeout and a hot bucket (boilerplate-heavy corpora) emits
+    * O(bucket²) pairs per band — at scale back the store with RocksDB
+    * and watch hot buckets exactly like ngramJaccard's capped shingles.
     */
   def minhashCandidatesStream(docs: Dataset[(Long, String)],
                               shingleN: Int = 3, numPerm: Int = 64,
@@ -311,16 +318,14 @@ object StreamingKg {
     val rows = numPerm / bands
     val spark = docs.sparkSession
     import spark.implicits._
+    // shingle/signature/bucket arithmetic = Dedup.docShingles +
+    // Hashes.minhash + Dedup.bandBucket — the SAME functions the batch
+    // band rows use, so candidate-set equality holds by construction
     docs.flatMap { case (id, text) =>
-      val words = text.split("\\s+").toIndexedSeq
       val sig = graft.nlp.Hashes.minhash(
-        graft.nlp.Hashes.shingles(words, shingleN).toArray, numPerm)
-      (0 until bands).iterator.map { b =>
-        var h = graft.nlp.Hashes.mix64(b.toLong + 0x9e3779b97f4a7c15L)
-        var k = 0
-        while (k < rows) { h = graft.nlp.Hashes.mix64(h ^ sig(b * rows + k)); k += 1 }
-        (h, id)
-      }
+        graft.ops.Dedup.docShingles(text, shingleN), numPerm)
+      (0 until bands).iterator.map(b =>
+        (graft.ops.Dedup.bandBucket(sig, b, rows), id))
     }.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, rowsIt: Iterator[(Long, Long)], state: GroupState[BucketState]) =>
