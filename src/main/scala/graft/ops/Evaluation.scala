@@ -228,6 +228,25 @@ object Evaluation {
         sum(col("k.fn_ov")).as("fn_ov"))
   }
 
+  /** Per-label P/R/F under one strictness over the subclass breakdown —
+    * the reference returns an `Evaluations` of per-label evaluations
+    * (`evaluators.py:483-489`); this is that surface as a DataFrame-in,
+    * Map-out composition: corpus-wide per-label counts from
+    * [[mentionCountsBySubclassByDoc]], each put through [[compute]].
+    */
+  def mentionPrfBySubclass(gold: DataFrame, pred: DataFrame,
+                           strictness: String = "exact"): Map[String, (Counts, PRF)] =
+    mentionCountsBySubclassByDoc(gold, pred)
+      .groupBy("label")
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+        sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
+      .collect()
+      .map { r =>
+        val c = Counts(r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+        r.getString(0) -> ((c, compute(c, strictness)))
+      }.toMap
+
   /** Scalar form: single agg action over [[mentionCountsByDoc]]. */
   def mentionCounts(gold: DataFrame, pred: DataFrame): Counts = {
     val r = mentionCountsByDoc(gold, pred)

@@ -76,11 +76,11 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
-  test("subclass breakdown: labelize + overlap re-attribution (evaluators.py:413-489)") {
+  // gold: A(0,"aaaa",sub 9)  B(10,"bbbb",null)  C(20,"cc dd",8)
+  //       D(30,"dddd",1)     E(33,"eeee",2)     F(50,"ffff",3)
+  private def subGold = {
     import spark.implicits._
-    // gold: A(0,"aaaa",sub 9)  B(10,"bbbb",null)  C(20,"cc dd",8)
-    //       D(30,"dddd",1)     E(33,"eeee",2)
-    val gold = Seq(
+    Seq(
       ("doc_1", "e_x", 0, "aaaa", "9"),
       ("doc_1", "e_x", 10, "bbbb", null),
       ("doc_1", "e_x", 20, "cc dd", "8"),
@@ -88,21 +88,31 @@ class EvaluationSpec extends SparkSpec {
       ("doc_1", "e_x", 33, "eeee", "2"),
       ("doc_1", "e_x", 50, "ffff", "3")
     ).toDF("conv_id", "class_id", "begin", "text", "subclass")
-    // pred: A'(0,"aaaa",7) exact-matches A -> tp under ITS OWN label 7
-    //       P2(21,"c",null) overlaps C only -> fp+fp_ov RE-ATTRIBUTED to 8
-    //       P3(40,"zzzz",5) no match -> fp under 5
-    //       P4(32,"ddd",null) overlaps D AND E -> last-in-order gold (E)
-    //         wins the re-attribution (the reference's mutation loop)
-    // P5(51,"ff",6) overlaps F(3) -> its counts re-attribute to 3, and
-    // its ORIGINAL label 6 must still appear as a zero-count row (the
-    // reference's label universe is computed pre-mutation, :426-434)
-    val pred = Seq(
+  }
+
+  // pred: A'(0,"aaaa",7) exact-matches A -> tp under ITS OWN label 7
+  //       P2(21,"c",null) overlaps C only -> fp+fp_ov RE-ATTRIBUTED to 8
+  //       P3(40,"zzzz",5) no match -> fp under 5
+  //       P4(32,"ddd",null) overlaps D AND E -> last-in-order gold (E)
+  //         wins the re-attribution (the reference's mutation loop)
+  //       P5(51,"ff",6) overlaps F(3) -> its counts re-attribute to 3,
+  //         and its ORIGINAL label 6 must still appear as a zero-count
+  //         row (the reference's label universe is pre-mutation, :426-434)
+  private def subPred = {
+    import spark.implicits._
+    Seq(
       ("doc_1", "e_x", 0, "aaaa", "7"),
       ("doc_1", "e_x", 21, "c", null),
       ("doc_1", "e_x", 40, "zzzz", "5"),
       ("doc_1", "e_x", 32, "ddd", null),
       ("doc_1", "e_x", 51, "ff", "6")
     ).toDF("conv_id", "class_id", "begin", "text", "subclass")
+  }
+
+  test("subclass breakdown: labelize + overlap re-attribution (evaluators.py:413-489)") {
+    import spark.implicits._
+    val gold = subGold
+    val pred = subPred
     val got = Evaluation.mentionCountsBySubclassByDoc(gold, pred)
       .as[(String, String, Long, Long, Long, Long, Long)].collect()
       .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
@@ -126,6 +136,18 @@ class EvaluationSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == total.fn)
     assert(got.values.map(_._4).sum == total.fpOv)
     assert(got.values.map(_._5).sum == total.fnOv)
+  }
+
+  test("mentionPrfBySubclass: per-label counts + strictness algebra composition") {
+    val byLabel = Evaluation.mentionPrfBySubclass(subGold, subPred, "overlapping")
+    // label "8": tp=0 fp=1 fn=1 fp_ov=1 fn_ov=1 → overlapping tp'=2,
+    // fp'=0, fn'=0 → P=R=F=1.0
+    val (c8, prf8) = byLabel("8")
+    assert(c8 == Evaluation.Counts(0, 1, 1, 1, 1))
+    assert(prf8 == Evaluation.PRF(1.0, 1.0, 1.0))
+    val (c5, prf5) = byLabel("5") // unmatched fp only → P=0
+    assert(c5.fp == 1 && prf5.precision == 0.0)
+    assert(byLabel.keySet.size == 9)
   }
 
   test("subclass breakdown: BooleanType subclass follows str(False)/str(True) labelize") {
