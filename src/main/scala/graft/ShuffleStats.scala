@@ -39,7 +39,17 @@ object ShuffleStats {
         }
       }
     })
-    val rows = SparkEntry.queries(name)(spark, sfDir).count()
+    // NOT .count(): a bare count lets Catalyst prune unused projections
+    // (and even whole Window nodes) out of the measured plan — the bytes
+    // would describe a plan nobody runs. Checksumming every output column
+    // forces the full computation while still collecting a single row.
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, expr, lit, struct, xxhash64}
+    val r = df
+      .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(h)").as("checksum"))
+      .first()
+    val rows = r.getLong(0)
     SparkEntry.clearCaches()
     // the listener bus is ASYNC: read the counters only after stop(),
     // which drains every queue — a fixed sleep can silently undercount

@@ -13,24 +13,40 @@ object Dedup {
 
   /** Exact dedup: representative id = min doc_id over identical text.
     *
-    * Hash-first grouping: the window partitions on (xxhash64(text), text)
-    * with the 8-byte hash LEADING the key, so the shuffle's sort/compare
-    * work is resolved by the hash long for every non-colliding pair and
-    * full-text comparison only happens inside equal-hash runs — the text
-    * column itself still rides along (it must: keeping it in the key IS
-    * the collision verification), but it no longer drives the sort. At
-    * 100 TB this turns a byte-wise sort of the corpus into a sort of
-    * 8-byte hashes plus a handful of tie-break comparisons.
+    * Two-phase hash-first (the candidates-then-join-back pattern of
+    * [[minhashLsh]] / Similarity.embeddingNearDupPairsLsh): the ONLY
+    * corpus-wide shuffle moves (xxhash64(text), doc_id) — 16 bytes/row —
+    * to find hash groups with ≥2 members. Texts are then semi-joined
+    * back for JUST those groups (a tiny fraction of a mostly-unique
+    * corpus) where a window on (h, text) verifies 64-bit collisions and
+    * assigns rep_id = min doc_id; every other document is its own
+    * representative without its text ever leaving the scan. At 100 TB
+    * this dedups the corpus while shuffling only ids + the duplicated
+    * slice, instead of the full corpus text (the r3 shape). On a
+    * corpus that is MOSTLY duplicates the verified slice is inherently
+    * large — but that cost is proportional to the actual dup candidates,
+    * never to unique text.
     */
   def exact(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    // multi-member hash groups: the one corpus-wide aggregate, ids-only.
+    // Referenced by both joins below — identical subtrees, so Catalyst's
+    // ReusedExchange shares the single (h)-partitioned shuffle.
+    val multi = ids.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h"), col("text"))
-    docs.select(col("doc_id"), col("text"))
+    val resolved = docs.select(col("doc_id"), col("text"))
       .withColumn("h", xxhash64(col("text")))
+      .join(multi, Seq("h"), "left_semi")
       .withColumn("rep_id", min(col("doc_id")).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("rep_id"),
         (col("group_size") > 1).as("is_dup_group"))
+    val singles = ids.join(multi, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep_id"),
+        lit(false).as("is_dup_group"))
+    resolved.unionByName(singles)
   }
 
   /** Word n-gram shingle Jaccard near-dup pairs via inverted index:

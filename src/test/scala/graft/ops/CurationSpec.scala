@@ -37,6 +37,30 @@ class CurationSpec extends SparkSpec {
     assert(got == (0 until 5).flatMap(i => Seq((i.toLong, i.toLong), (200L + i, i.toLong))).toSet)
   }
 
+  test("exact dedup: singles map to themselves; wide shuffle carries no text") {
+    import spark.implicits._
+    val all = Dedup.exact(corpus).as[(Long, Long, Boolean)].collect()
+    assert(all.length == corpus.count())
+    all.filterNot(_._3).foreach { case (id, rep, _) => assert(rep == id) }
+    // the scale contract fixed this round: the only exchange whose rows
+    // include the text column is the (h, text) verification window, and
+    // it sits ABOVE the multi-member semi-join filter — the corpus-wide
+    // hash-group aggregate shuffles (h, doc_id) ids only
+    val plan = Dedup.exact(corpus).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    val withText = shuffles.filter(_.child.output.exists(_.name == "text"))
+    assert(withText.size == 1, s"expected exactly one text-carrying exchange:\n$plan")
+    assert(withText.head.child.toString.contains("LeftSemi"),
+      s"text-carrying exchange must sit above the multi-member semi join:\n${withText.head.child}")
+  }
+
   test("minhash LSH recovers all planted near-dups (jaccard >= 0.5)") {
     import spark.implicits._
     val pairs = Dedup.minhashLsh(corpus, shingleN = 3, threshold = 0.5)
