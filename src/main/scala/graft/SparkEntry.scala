@@ -165,6 +165,31 @@ object SparkEntry {
         Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
       Evaluation.mentionPrfReport(gold, pred)
     }),
+    // Per-SUBCLASS mention-eval breakdown
+    // (`MentionLevelEvaluator(subclass_analysis=True)`,
+    // `evaluators.py:413-489`): gold = gazetteer tokens with subclass =
+    // the surface word (so labelize keeps it), pred = BIO-decoded CRF
+    // runs with NO subclass (labelize falls back to class_id). Merged
+    // runs overlap same-class gold tokens of a different label and are
+    // re-attributed to the LAST overlapping gold in offset order — the
+    // deterministic form of the reference's subclass mutation
+    // (`evaluators.py:451-456`). Output: corpus-wide counts per label.
+    "kg_subclass_eval" -> ((s, dir) => {
+      def byTurn(df: DataFrame): DataFrame = df.select(
+        concat(col("conv_id"), lit("#"), col("turn_idx")).as("conv_id"),
+        col("class_id"), col("begin"), col("text"))
+      val toks = Segmentation.tokenized(
+        turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .localCheckpoint(true)
+      val gold = byTurn(GazetteerTagger.tag(toks).toDF())
+        .withColumn("subclass", col("text")).localCheckpoint(true)
+      val pred = byTurn(Crf.tag(toks,
+        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
+      Evaluation.mentionCountsBySubclassByDoc(gold, pred)
+        .groupBy("label")
+        .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+          sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
+    }),
     "kg_pipeline" -> ((s, dir) => kgPipelineFused(s, dir)),
     "kg_crf_mentions" -> ((s, dir) => {
       // CRF route: broadcast-weights Viterbi with the dictionary-exact
@@ -613,6 +638,79 @@ object SparkEntry {
          |  round(ph, 6) AS half_p, round(rh, 6) AS half_r,
          |  round(CASE WHEN ph + rh = 0.0 THEN 0.0 ELSE 2.0 * ((ph * rh) / (ph + rh)) END, 6) AS half_f
          |FROM m""".stripMargin,
+
+    // Subclass breakdown in pure SQL: gold tokens labeled by surface word,
+    // BIO-decoded runs labeled by class; EXISTS predicates for the exact /
+    // overlap tests and arg_max(label, "begin") for the last-overlap
+    // re-attribution (`evaluators.py:445-456` as a deterministic rule).
+    // The zero-row branch preserves the reference's pre-mutation label
+    // universe (`evaluators.py:426-434`).
+    "kg_subclass_eval" ->
+      s"""WITH $M,
+         |runs AS (
+         |  SELECT conv_id, turn_idx, pos, word, b,
+         |         $gazCase AS class_id,
+         |         pos - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp
+         |  FROM toks
+         |  WHERE word IN ('merge','filter','scan','sort','table','vector','stream','batch')
+         |),
+         |g AS (
+         |  SELECT conv_id || '#' || turn_idx AS doc, class_id, "begin", text,
+         |         "begin" + length(text) AS e, text AS label
+         |  FROM mentions
+         |),
+         |p AS (
+         |  SELECT conv_id || '#' || turn_idx AS doc,
+         |         arg_min(class_id, pos) AS class_id,
+         |         CAST(min(b) AS INT) AS "begin",
+         |         string_agg(word, ' ' ORDER BY pos) AS text,
+         |         CAST(min(b) + length(string_agg(word, ' ' ORDER BY pos)) AS INT) AS e,
+         |         arg_min(class_id, pos) AS own_label
+         |  FROM runs GROUP BY conv_id, turn_idx, grp
+         |),
+         |predatt AS (
+         |  SELECT p.doc, p.own_label,
+         |    EXISTS (SELECT 1 FROM g WHERE g.doc = p.doc AND g.class_id = p.class_id
+         |            AND g."begin" = p."begin" AND g.text = p.text) AS is_exact,
+         |    (SELECT count(*) FROM g WHERE g.doc = p.doc AND g.class_id = p.class_id
+         |      AND p."begin" < g.e AND p.e > g."begin"
+         |      AND NOT (g."begin" = p."begin" AND g.text = p.text)) AS n_ov,
+         |    (SELECT arg_max(g.label, g."begin") FROM g
+         |      WHERE g.doc = p.doc AND g.class_id = p.class_id
+         |      AND p."begin" < g.e AND p.e > g."begin"
+         |      AND NOT (g."begin" = p."begin" AND g.text = p.text)) AS ov_label
+         |  FROM p
+         |),
+         |goldatt AS (
+         |  SELECT g.label,
+         |    EXISTS (SELECT 1 FROM p WHERE p.doc = g.doc AND p.class_id = g.class_id
+         |            AND p."begin" = g."begin" AND p.text = g.text) AS is_exact,
+         |    EXISTS (SELECT 1 FROM p WHERE p.doc = g.doc AND p.class_id = g.class_id
+         |            AND g."begin" < p.e AND g.e > p."begin"
+         |            AND NOT (p."begin" = g."begin" AND p.text = g.text)) AS has_ov
+         |  FROM g
+         |),
+         |kinds AS (
+         |  SELECT CASE WHEN n_ov > 0 THEN ov_label ELSE own_label END AS label,
+         |         CASE WHEN is_exact THEN 1 ELSE 0 END AS tp,
+         |         CASE WHEN is_exact THEN 0 ELSE 1 END AS fp,
+         |         CASE WHEN NOT is_exact AND n_ov > 0 THEN 1 ELSE 0 END AS fp_ov,
+         |         0 AS fn, 0 AS fn_ov
+         |  FROM predatt
+         |  UNION ALL
+         |  SELECT own_label, 0, 0, 0, 0, 0 FROM predatt
+         |  UNION ALL
+         |  SELECT label, 0, 0, 0,
+         |         CASE WHEN is_exact THEN 0 ELSE 1 END,
+         |         CASE WHEN NOT is_exact AND has_ov THEN 1 ELSE 0 END
+         |  FROM goldatt
+         |)
+         |SELECT label, CAST(sum(tp) AS BIGINT) AS tp,
+         |       CAST(sum(fp) AS BIGINT) AS fp,
+         |       CAST(sum(fn) AS BIGINT) AS fn,
+         |       CAST(sum(fp_ov) AS BIGINT) AS fp_ov,
+         |       CAST(sum(fn_ov) AS BIGINT) AS fn_ov
+         |FROM kinds GROUP BY label""".stripMargin,
 
     "kg_scored" ->
       s"""WITH $M,

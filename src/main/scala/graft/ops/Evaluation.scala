@@ -154,6 +154,11 @@ object Evaluation {
     *    label afterwards. Our deterministic equivalent: the effective
     *    label is the LAST overlapping gold in document (begin) order,
     *    matching the reference's iteration-order last-write-wins.
+    *    NOTE the reference's "last" follows `part.annotations` LIST
+    *    order, not offsets — the two coincide only when gold annotation
+    *    lists arrive offset-sorted, which holds for every in-engine
+    *    producer (tokenizers emit left-to-right); externally-loaded gold
+    *    with out-of-order lists is normalized to offset order here.
     *  - GOLD entities always count under their own label.
     *
     * Output: (conv_id, label, tp, fp, fn, fp_ov, fn_ov) — one row per
@@ -177,9 +182,15 @@ object Evaluation {
         when(sub.isNull || sub.isin("None", "False"), col("class_id"))
           .otherwise(sub))
     }
+    // dedup on the SPAN key only (min label wins): a span duplicated with
+    // two conflicting subclass values must count ONCE, exactly as it does
+    // in the label-free TOTAL counts — else the breakdown's per-label rows
+    // would not decompose the TOTAL (the invariant EvaluationSpec pins)
     def spans(df: DataFrame, out: String): DataFrame = withLabel(df)
       .select(col("conv_id"), col("class_id"), col("begin"), col("text"),
-        (col("begin") + length(col("text"))).as("end"), col("label")).distinct()
+        (col("begin") + length(col("text"))).as("end"), col("label"))
+      .groupBy("conv_id", "class_id", "begin", "text", "end")
+      .agg(min(col("label")).as("label"))
       .groupBy("conv_id", "class_id")
       .agg(sort_array(collect_list(
         struct(col("begin"), col("end"), col("text"), col("label")))).as(out))

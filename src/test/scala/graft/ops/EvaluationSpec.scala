@@ -150,6 +150,28 @@ class EvaluationSpec extends SparkSpec {
     assert(byLabel.keySet.size == 9)
   }
 
+  test("subclass breakdown: span duplicated with conflicting subclasses counts once") {
+    import spark.implicits._
+    // one physical gold span arriving twice with different subclass values
+    // must contribute ONE count (min label wins deterministically), so the
+    // breakdown still decomposes the label-free TOTAL for such input
+    val gold = Seq(("d1", "e_x", 0, "aaaa", "2"), ("d1", "e_x", 0, "aaaa", "1"))
+      .toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val pred = Seq(("d1", "e_x", 0, "aaaa", null: String))
+      .toDF("conv_id", "class_id", "begin", "text", "subclass")
+    val got = Evaluation.mentionCountsBySubclassByDoc(gold, pred)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // exact match: one tp under the pred's label, gold row "1" all-zero
+    assert(got("e_x") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got("1") == ((0L, 0L, 0L, 0L, 0L)))
+    assert(!got.contains("2")) // the conflicting duplicate is dropped
+    val total = Evaluation.mentionCounts(gold.drop("subclass"), pred.drop("subclass"))
+    assert(got.values.map(_._1).sum == total.tp)
+    assert(got.values.map(_._2).sum == total.fp)
+    assert(got.values.map(_._3).sum == total.fn)
+  }
+
   test("subclass breakdown: BooleanType subclass follows str(False)/str(True) labelize") {
     import spark.implicits._
     // the reference's clean_subclasses convention stores subclass=False;
