@@ -106,7 +106,9 @@ object DepGraph {
         pos(i) match {
           case "PUNCT" => "punct"
           case "DET" => "det"
-          case "ADP" => "prep"
+          // an adposition binding a directly FOLLOWING verb is the
+          // infinitival/complementizer particle ("to <verb>") — aux
+          case "ADP" => if (heads(i) == i + 1 && hp == "VERB") "aux" else "prep"
           case "NUM" => "nummod"
           case "VERB" => if (auxLexicon.contains(w)) "aux" else "conj"
           case "NOUN" =>
@@ -120,22 +122,109 @@ object DepGraph {
     }
   }
 
-  /** head(i) for every token; root points to itself. */
+  /** head(i) for every token; root points to itself.
+    *
+    * Projective rule grammar over the coarse POS sequence (r4 — replaces
+    * the r3 "nearest preceding verb" flat attachment, which measured
+    * 21.1% head agreement on the reference's own 18 parser-test
+    * sentences; see DepGraphAgreementSpec for the measured numbers):
+    *
+    *  - root = first non-auxiliary verb (else first verb; else the head
+    *    of the first noun run — verbless titles root on their NP head);
+    *  - noun runs (maximal contiguous NOUN/NUM spans) are RIGHT-headed:
+    *    every non-final token attaches to the run-final token (English
+    *    compound/modifier order);
+    *  - a run-final noun is the object of a directly preceding
+    *    adposition (pobj, determiners skipped), else an argument of the
+    *    nearest preceding verb, else the subject of the next verb;
+    *  - determiners attach to the following noun run's head;
+    *  - adpositions bind a directly following verb ("to <verb>" — aux),
+    *    else the noun phrase they follow, else the nearest preceding
+    *    verb;
+    *  - auxiliaries with a verb within the next two tokens attach to it
+    *    (auxpass chains); other verbs to the nearest preceding verb;
+    *  - hyphens bind the following token, other punctuation the root.
+    */
   def heads(toks: IndexedSeq[Tok]): Array[Int] = {
     val n = toks.length
+    if (n == 0) return Array.empty
     val pos = toks.map(t => coarsePos(t.word))
-    val root = {
-      val v = pos.indexWhere(_ == "VERB")
-      if (v >= 0) v else 0
+    val lower = toks.map(_.word.toLowerCase)
+    def nominal(p: String) = p == "NOUN" || p == "NUM"
+    def isAux(i: Int) = auxLexicon.contains(lower(i))
+    // run-final / run-start index per nominal token
+    val runEnd = Array.tabulate(n)(identity)
+    var i = n - 2
+    while (i >= 0) {
+      if (nominal(pos(i)) && nominal(pos(i + 1))) runEnd(i) = runEnd(i + 1)
+      i -= 1
     }
-    Array.tabulate(n) { i =>
-      if (i == root) root
-      else if (pos(i) == "PUNCT") (if (i > 0) i - 1 else root)
-      else if (pos(i) == "VERB") root
-      else {
-        // attach to nearest preceding verb, else the root
-        val prevVerb = (i - 1 to 0 by -1).find(j => pos(j) == "VERB")
-        prevVerb.getOrElse(root)
+    val runStart = Array.tabulate(n)(identity)
+    i = 1
+    while (i < n) {
+      if (nominal(pos(i)) && nominal(pos(i - 1))) runStart(i) = runStart(i - 1)
+      i += 1
+    }
+    val root = pos.indices.find(j => pos(j) == "VERB" && !isAux(j))
+      .orElse(pos.indices.find(j => pos(j) == "VERB"))
+      .getOrElse {
+        val firstNoun = pos.indexWhere(nominal)
+        if (firstNoun >= 0) runEnd(firstNoun) else 0
+      }
+    def prevVerb(j0: Int): Int = {
+      var j = j0 - 1
+      while (j >= 0 && pos(j) != "VERB") j -= 1
+      j
+    }
+    def nextVerb(j0: Int): Int = {
+      var j = j0 + 1
+      while (j < n && pos(j) != "VERB") j += 1
+      if (j < n) j else -1
+    }
+    Array.tabulate(n) { k =>
+      if (k == root) root
+      else pos(k) match {
+        case "PUNCT" =>
+          if (lower(k) == "-" && k + 1 < n) k + 1 else root
+        case "VERB" =>
+          val nv = nextVerb(k)
+          if (isAux(k) && nv >= 0 && nv - k <= 2) nv
+          else {
+            // nearest preceding verb that is NOT itself a forward-binding
+            // auxiliary: those chain INTO this verb ("may have been
+            // taken"), and attaching back to one would close a verb cycle
+            // disconnected from the root (tree-ness is what the path
+            // property tests pin)
+            var j = k - 1
+            var found = -1
+            while (j >= 0 && found < 0) {
+              if (pos(j) == "VERB") {
+                val jn = nextVerb(j)
+                if (!(isAux(j) && jn >= 0 && jn - j <= 2)) found = j
+              }
+              j -= 1
+            }
+            if (found >= 0) found else root
+          }
+        case "DET" =>
+          if (k + 1 < n && nominal(pos(k + 1))) runEnd(k + 1)
+          else { val p = prevVerb(k); if (p >= 0) p else root }
+        case "ADP" =>
+          if (k + 1 < n && pos(k + 1) == "VERB") k + 1
+          else if (k > 0 && nominal(pos(k - 1))) k - 1
+          else { val p = prevVerb(k); if (p >= 0) p else root }
+        case _ => // NOUN / NUM
+          if (runEnd(k) != k) runEnd(k)
+          else {
+            var j = runStart(k) - 1
+            while (j >= 0 && pos(j) == "DET") j -= 1
+            if (j >= 0 && pos(j) == "ADP") j
+            else {
+              val p = prevVerb(k)
+              if (p >= 0) p
+              else { val nv = nextVerb(k); if (nv >= 0) nv else root }
+            }
+          }
       }
     }
   }

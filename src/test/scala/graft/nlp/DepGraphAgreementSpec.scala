@@ -248,9 +248,12 @@ class DepGraphAgreementSpec extends AnyFunSuite {
       f"label=${lab * 100}%.1f%% LAS=${lasAcc * 100}%.1f%%")
     // floors just under the measured values — regression guards for the
     // REPORTED numbers (SURVEY §2.11 parser row), not quality claims
+    // r3 flat attachment measured POS 89.3 / UAS 21.1 / label 40.4 /
+    // LAS 14.1; the r4 projective rule grammar measures POS 89.3 /
+    // UAS 44.8 / label 51.9 / LAS 34.1
     assert(pos >= 0.85, f"POS agreement regressed: $pos%.3f")
-    assert(uas >= 0.20, f"UAS regressed: $uas%.3f")
-    assert(lab >= 0.38, f"label agreement regressed: $lab%.3f")
-    assert(lasAcc >= 0.12, f"LAS regressed: $lasAcc%.3f")
+    assert(uas >= 0.42, f"UAS regressed: $uas%.3f")
+    assert(lab >= 0.49, f"label agreement regressed: $lab%.3f")
+    assert(lasAcc >= 0.32, f"LAS regressed: $lasAcc%.3f")
   }
 }
