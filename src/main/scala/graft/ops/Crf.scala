@@ -80,11 +80,17 @@ object Crf {
   /** Viterbi decode: best label sequence under emission + transition +
     * start/stop potentials.
     */
-  def viterbi(m: Model, feats: Seq[List[String]]): Vector[String] = {
-    val n = feats.length
+  def viterbi(m: Model, feats: Seq[List[String]]): Vector[String] =
+    viterbiEm(m, emissionScores(m, feats))
+
+  /** Viterbi over a PRECOMPUTED emission matrix — the core shared by the
+    * broadcast path ([[tag]]) and the emissions-table join path
+    * ([[tagWithTable]]), which sums its per-token scores distributed.
+    */
+  private[ops] def viterbiEm(m: Model, em: Array[Array[Double]]): Vector[String] = {
+    val n = em.length
     if (n == 0) return Vector.empty
     val L = m.labels.length
-    val em = emissionScores(m, feats)
     val delta = Array.ofDim[Double](n, L)
     val back = Array.ofDim[Int](n, L)
     var l = 0
@@ -123,10 +129,15 @@ object Crf {
   }
 
   /** Forward-backward marginals P(y_i = l | x) (log-space, stable). */
-  def marginals(m: Model, feats: Seq[List[String]]): Array[Array[Double]] = {
-    val n = feats.length
+  def marginals(m: Model, feats: Seq[List[String]]): Array[Array[Double]] =
+    marginalsEm(m, emissionScores(m, feats))
+
+  /** Forward-backward over a precomputed emission matrix (see
+    * [[viterbiEm]]).
+    */
+  private[ops] def marginalsEm(m: Model, em: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = em.length
     val L = m.labels.length
-    val em = emissionScores(m, feats)
     def logSumExp(xs: Array[Double]): Double = {
       var mx = Double.NegativeInfinity
       xs.foreach(x => if (x > mx) mx = x)
@@ -361,30 +372,112 @@ object Crf {
     val bc = spark.sparkContext.broadcast(model)
     ts.mapPartitions { it =>
       val m = bc.value
-      val oIdx = m.labelIndex.getOrElse("O", -1)
       it.flatMap { s =>
         val toks = s.tokens.toIndexedSeq
         if (toks.isEmpty) Iterator.empty
         else {
           val feats = tokenFeatures(toks).map(fs => "__bias__" :: fs)
-          val pred = viterbi(m, feats)
-          val marg = marginals(m, feats)
-          val conf = toks.indices.map { i =>
-            val l = m.labelIndex(pred(i))
-            if (l == oIdx) 0.0 else marg(i)(l)
-          }
-          Labeling.decode(toks, pred, conf).iterator.map { d =>
-            // class id from the first token's label (B-cls / I-cls)
-            val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
-            val cls = if (firstLabel.length > 2) firstLabel.substring(2) else firstLabel
-            // Entity text = part.text[start:end] (`data.py:270`) — exact
-            // substring reconstructed from the sentence text carry.
-            val text = s.sent_text.substring(d.begin - s.sent_start, d.end - s.sent_start)
-            Mention(s.conv_id, s.turn_idx, s.sent_idx, cls, d.begin, d.end,
-              text, d.confidence, TextOps.normKey(text))
-          }
+          decodeWithEm(m, s, emissionScores(m, feats))
         }
       }
     }
+  }
+
+  /** Viterbi + forward-backward + BIO-decode of one sentence given its
+    * emission matrix — shared by [[tag]] (broadcast emissions) and
+    * [[tagWithTable]] (joined emissions).
+    */
+  private def decodeWithEm(m: Model, s: TokenizedSentence,
+                           em: Array[Array[Double]]): Iterator[Mention] = {
+    val toks = s.tokens.toIndexedSeq
+    val oIdx = m.labelIndex.getOrElse("O", -1)
+    val pred = viterbiEm(m, em)
+    val marg = marginalsEm(m, em)
+    val conf = toks.indices.map { i =>
+      val l = m.labelIndex(pred(i))
+      if (l == oIdx) 0.0 else marg(i)(l)
+    }
+    Labeling.decode(toks, pred, conf).iterator.map { d =>
+      // class id from the first token's label (B-cls / I-cls)
+      val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
+      val cls = if (firstLabel.length > 2) firstLabel.substring(2) else firstLabel
+      // Entity text = part.text[start:end] (`data.py:270`) — exact
+      // substring reconstructed from the sentence text carry.
+      val text = s.sent_text.substring(d.begin - s.sent_start, d.end - s.sent_start)
+      Mention(s.conv_id, s.turn_idx, s.sent_idx, cls, d.begin, d.end,
+        text, d.confidence, TextOps.normKey(text))
+    }
+  }
+
+  /** One (token, label) cell of a distributed emission matrix. */
+  final case class EmCell(tok_idx: Int, lbl: Int, w: Double)
+
+  /** Distributed scoring for models PAST BROADCAST SIZE: emission weights
+    * come from the `emissions` TABLE (feature STRING, weights
+    * ARRAY<DOUBLE> in label order — the layout [[ModelIO.saveCrf]]
+    * writes) instead of a driver broadcast. Only `meta`'s labels /
+    * transitions / start / stop are broadcast (L² floats — always tiny);
+    * `meta.emissions` is ignored.
+    *
+    * Plan: per-token feature rows join the emissions table on the feature
+    * key (the model shuffles once, corpus feature rows shuffle once —
+    * bucketing both sides on `feature` makes this a co-located join on a
+    * real lake), per-(sentence, token, label) partial sums aggregate
+    * map-side, and the dense per-sentence matrix joins BACK to the
+    * sentence row for Viterbi + forward-backward + BIO-decode — the same
+    * candidates-then-join-back shape as the dedup operators, so sentence
+    * payloads never ride the feature-scoring shuffles.
+    *
+    * Exactly equivalent to broadcast [[tag]] up to floating-point
+    * summation order (bit-identical when weights are exactly-representable
+    * integers, e.g. the dictionary model — pinned in ModelIOSpec); a
+    * sentence with NO feature hit in the table decodes under zero
+    * emissions, like the broadcast path.
+    */
+  def tagWithTable(ts: Dataset[TokenizedSentence],
+                   emissions: org.apache.spark.sql.DataFrame,
+                   meta: Model): Dataset[Mention] = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val skeleton = meta.copy(emissions = Map.empty)
+    val bc = spark.sparkContext.broadcast(skeleton)
+    val L = skeleton.labels.length
+    val featRows = ts.flatMap { s =>
+      val toks = s.tokens.toIndexedSeq
+      if (toks.isEmpty) Iterator.empty
+      else tokenFeatures(toks).iterator.zipWithIndex.flatMap { case (fs, i) =>
+        ("__bias__" :: fs).iterator.map(f =>
+          (s.conv_id, s.turn_idx, s.sent_idx, i, f))
+      }
+    }.toDF("conv_id", "turn_idx", "sent_idx", "tok_idx", "feature")
+    val cells = featRows
+      .join(emissions.select(col("feature"), col("weights")), Seq("feature"))
+      .select(col("conv_id"), col("turn_idx"), col("sent_idx"), col("tok_idx"),
+        posexplode(col("weights")).as(Seq("lbl", "w")))
+      .groupBy("conv_id", "turn_idx", "sent_idx", "tok_idx", "lbl")
+      .agg(sum("w").as("w"))
+      .filter(col("w") =!= 0.0)
+      .groupBy("conv_id", "turn_idx", "sent_idx")
+      .agg(collect_list(struct(col("tok_idx"), col("lbl"), col("w"))).as("em"))
+      .as[(String, Int, Int, Seq[EmCell])]
+    ts.joinWith(cells,
+        ts("conv_id") === cells("conv_id") &&
+          ts("turn_idx") === cells("turn_idx") &&
+          ts("sent_idx") === cells("sent_idx"),
+        "left_outer")
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (s, scoredOrNull) =>
+          val toks = s.tokens
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val em = Array.ofDim[Double](toks.length, L)
+            if (scoredOrNull != null)
+              scoredOrNull._4.foreach(c => em(c.tok_idx)(c.lbl) = c.w)
+            decodeWithEm(m, s, em)
+          }
+        }
+      }
   }
 }

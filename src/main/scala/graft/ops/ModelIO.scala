@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *
   *  - CRF ([[graft.ops.Crf.Model]]): an `emissions` table
   *    (feature STRING, weights ARRAY<DOUBLE>) — one row per feature, the
-  *    natural layout when a model grows past broadcast size and must be
-  *    map-side joined instead — plus a one-row `meta` table (labels,
-  *    transitions, start, stop).
+  *    layout [[Crf.tagWithTable]] consumes DISTRIBUTED (feature-key join
+  *    instead of a driver broadcast) when a model grows past broadcast
+  *    size — plus a one-row `meta` table (labels, transitions, start,
+  *    stop).
   *  - Linear SVM ([[RelationScoring.LinearModel]]): sparse nonzero
   *    (idx, weight) rows plus a one-row meta (bias, dims) — the hashed
   *    weight vector is mostly zeros on small training sets.

@@ -36,6 +36,22 @@ class ModelIOSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("tagWithTable: emissions-table join scoring equals broadcast tag") {
+    // the distributed consumer of ModelIO's emissions layout: join-based
+    // scoring must reproduce the broadcast path bit-for-bit on the
+    // dictionary model (integer weights — FP-order-proof), including
+    // sentences with no feature hit and empty sentences
+    val model = Crf.dictionaryModel(GazetteerTagger.gazetteer)
+    val dir = Files.createTempDirectory("crf_table").toString
+    ModelIO.saveCrf(spark, model, dir)
+    val emissions = spark.read.parquet(s"$dir/emissions")
+    val ts = Segmentation.tokenized(Segmentation.turns(
+      Transcripts.fromDocuments(spark, "/root/testdata/sf0.001")))
+    val broadcastPath = Crf.tag(ts, model).collect().toSet
+    val tablePath = Crf.tagWithTable(ts, emissions, model).collect().toSet
+    assert(tablePath == broadcastPath && tablePath.nonEmpty)
+  }
+
   test("trained CRF (non-dictionary weights) survives the round-trip") {
     // real-valued weights from a short perceptron run — exercises
     // doubles that are NOT 0/1, where parquet bit-exactness matters
