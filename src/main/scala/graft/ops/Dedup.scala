@@ -213,6 +213,11 @@ object Dedup {
   /** 64-bit SimHash per document over word features; near-dup pairs =
     * hamming ≤ `maxHamming` via 4-block LSH (pigeonhole: any pair within
     * hamming 3 of 64 bits shares at least one identical 16-bit block).
+    * NOTE `maxHamming` > 3: the 4-block fanout guarantees a shared block
+    * only up to hamming 3 — larger values return a candidate SUBSET
+    * (pairs that happen to share a block), not every qualifying pair.
+    * The streaming form uses the same blocking, so parity holds at any
+    * setting.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

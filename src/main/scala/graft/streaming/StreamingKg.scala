@@ -195,36 +195,51 @@ object StreamingKg {
     * ascending id order; across batches, arrival order wins). The parity
     * test feeds ascending ids, where the two coincide.
     *
-    * State is bounded by distinct content hashes; at scale back the
-    * state store with RocksDB and age out via the timeout parameter on
-    * a wrapper — kept minimal here because dedup state, unlike
-    * conversation state, is legitimately append-only.
+    * State is bounded by distinct content hashes. `maxIdle` (r4) bounds
+    * it further in TIME: a hash bucket idle longer than the duration is
+    * evicted (processing-time timeout, the same discipline as
+    * [[triplesStateful]]), so state tracks the RECENTLY-SEEN corpus —
+    * at scale back the store with RocksDB and set maxIdle to the dedup
+    * horizon. Eviction semantics: a text re-ingested AFTER its bucket
+    * was evicted starts a fresh group (it becomes its own representative
+    * again — pinned in StreamingKgSpec); None keeps the original
+    * append-only NoTimeout behavior.
     */
-  def exactDedupStream(docs: Dataset[(Long, String)]): Dataset[(Long, Long, Boolean)] = {
+  def exactDedupStream(docs: Dataset[(Long, String)],
+                       maxIdle: Option[String] = None): Dataset[(Long, Long, Boolean)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.groupByKey { case (_, text) =>
       // engine-owned stable hash (graft invariant: never JVM hashCode)
       graft.nlp.Hashes.fnv1a64(text)
-    }.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    }.flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
       (_: Long, rows: Iterator[(Long, String)], state: GroupState[DedupState]) =>
-        val out = Vector.newBuilder[(Long, Long, Boolean)]
-        var cur = state.getOption
-        // deterministic within-batch order: ascending doc_id
-        rows.toSeq.sortBy(_._1).foreach { case (id, text) =>
-          cur match {
-            case Some(s) if s.text == text =>
-              out += ((id, s.repId, true))
-            case Some(s) =>
-              // hash collision, different text: keep as its own doc
-              out += ((id, id, false))
-            case None =>
-              cur = Some(DedupState(id, text))
-              out += ((id, id, false))
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = Vector.newBuilder[(Long, Long, Boolean)]
+          var cur = state.getOption
+          // deterministic within-batch order: ascending doc_id
+          rows.toSeq.sortBy(_._1).foreach { case (id, text) =>
+            cur match {
+              case Some(s) if s.text == text =>
+                out += ((id, s.repId, true))
+              case Some(s) =>
+                // hash collision, different text: keep as its own doc
+                out += ((id, id, false))
+              case None =>
+                cur = Some(DedupState(id, text))
+                out += ((id, id, false))
+            }
           }
+          cur.foreach(state.update)
+          maxIdle.foreach(state.setTimeoutDuration)
+          out.result().iterator
         }
-        cur.foreach(state.update)
-        out.result().iterator
     }
   }
 
@@ -248,38 +263,63 @@ object StreamingKg {
     * the batch operator is tested). Assumes unique doc_ids (the batch
     * operator's contract).
     *
-    * State grows with corpus size per bucket; at scale back the store
-    * with RocksDB — hot buckets (boilerplate-heavy corpora) are the
-    * skew to watch, the same hot-shingle phenomenon Dedup.ngramJaccard
-    * caps with its document-frequency filter.
+    * State grows with corpus size per bucket; two r4 bounds:
+    * `maxIdle` evicts buckets idle past the duration (processing-time
+    * timeout — the dedup horizon at scale; re-ingested docs after
+    * eviction re-emit their pairs), and `maxBucket` caps the entries a
+    * hot bucket STORES: arrivals beyond the cap still compare against
+    * the stored entries but are not added, so a boilerplate bucket emits
+    * O(cap) pairs per arrival instead of O(bucket) — with the cap the
+    * result is an explicit candidate SUBSET on hot buckets, the same
+    * recall trade Dedup.ngramJaccard makes with its document-frequency
+    * filter (bounded-emission behavior pinned in StreamingKgSpec). At
+    * scale back the store with RocksDB.
+    *
+    * NOTE `maxHamming` > 3: the 4×16-bit block fanout GUARANTEES a
+    * shared block only for hamming ≤ 3 (pigeonhole over 4 blocks);
+    * larger values return a candidate subset, not every qualifying pair
+    * — identical to the batch operator's blocking, so batch/stream
+    * parity still holds at any setting.
     */
   def simhashPairsStream(docs: Dataset[(Long, String)],
-                         maxHamming: Int = 3): Dataset[(Long, Long, Int)] = {
+                         maxHamming: Int = 3,
+                         maxIdle: Option[String] = None,
+                         maxBucket: Int = Int.MaxValue): Dataset[(Long, Long, Int)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.flatMap { case (id, text) =>
       val feats = text.split("\\s+").iterator.filter(_.nonEmpty)
         .map(w => (graft.nlp.Hashes.fnv1a64(w), 1))
       val h = graft.nlp.Hashes.simhash(feats)
       (0 until 4).map(b => (b.toLong << 32 | ((h >>> (b * 16)) & 0xffffL), id, h))
     }.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[BlockState]) =>
-          val out = Vector.newBuilder[(Long, Long, Int)]
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
-          // deterministic within-batch order: ascending doc_id
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, h) =>
-            entries.foreach { case (pid, ph) =>
-              if (pid != id) {
-                val d = graft.nlp.Hashes.hamming(ph, h)
-                if (d <= maxHamming)
-                  out += ((math.min(pid, id), math.max(pid, id), d))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Vector.newBuilder[(Long, Long, Int)]
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            var size = entries.size // ≤ maxBucket by construction
+            // deterministic within-batch order: ascending doc_id
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, h) =>
+              entries.foreach { case (pid, ph) =>
+                if (pid != id) {
+                  val d = graft.nlp.Hashes.hamming(ph, h)
+                  if (d <= maxHamming)
+                    out += ((math.min(pid, id), math.max(pid, id), d))
+                }
               }
+              if (size < maxBucket) { entries = (id, h) :: entries; size += 1 }
             }
-            entries = (id, h) :: entries
+            state.update(BlockState(entries))
+            maxIdle.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BlockState(entries))
-          out.result().iterator
       }
   }
 
@@ -306,18 +346,25 @@ object StreamingKg {
     *
     * Same operational caveats as [[simhashPairsStream]]: assumes unique
     * doc_ids (a re-ingested id would re-emit its pairs in a LATER batch,
-    * beyond per-batch dedup); per-bucket state is append-only under
-    * NoTimeout and a hot bucket (boilerplate-heavy corpora) emits
-    * O(bucket²) pairs per band — at scale back the store with RocksDB
-    * and watch hot buckets exactly like ngramJaccard's capped shingles.
+    * beyond per-batch dedup). The r4 bounds mirror simhash: `maxIdle`
+    * evicts idle buckets by processing-time timeout, `maxBucket` caps
+    * stored ids per bucket so a hot boilerplate bucket emits O(cap)
+    * candidates per arrival instead of O(bucket) — an explicit candidate
+    * subset on hot buckets; exact-Jaccard verification downstream keeps
+    * precision regardless. At scale back the store with RocksDB.
     */
   def minhashCandidatesStream(docs: Dataset[(Long, String)],
                               shingleN: Int = 3, numPerm: Int = 64,
-                              bands: Int = 16): Dataset[(Long, Long)] = {
+                              bands: Int = 16,
+                              maxIdle: Option[String] = None,
+                              maxBucket: Int = Int.MaxValue): Dataset[(Long, Long)] = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     // shingle/signature/bucket arithmetic = Dedup.docShingles +
     // Hashes.minhash + Dedup.bandBucket — the SAME functions the batch
     // band rows use, so candidate-set equality holds by construction
@@ -327,18 +374,25 @@ object StreamingKg {
       (0 until bands).iterator.map(b =>
         (graft.ops.Dedup.bandBucket(sig, b, rows), id))
     }.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: Long, rowsIt: Iterator[(Long, Long)], state: GroupState[BucketState]) =>
-          val out = Vector.newBuilder[(Long, Long)]
-          var ids = state.getOption.map(_.ids).getOrElse(Nil)
-          rowsIt.toSeq.sortBy(_._2).foreach { case (_, id) =>
-            ids.foreach { pid =>
-              if (pid != id) out += ((math.min(pid, id), math.max(pid, id)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Vector.newBuilder[(Long, Long)]
+            var ids = state.getOption.map(_.ids).getOrElse(Nil)
+            var size = ids.size // ≤ maxBucket by construction
+            rowsIt.toSeq.sortBy(_._2).foreach { case (_, id) =>
+              ids.foreach { pid =>
+                if (pid != id) out += ((math.min(pid, id), math.max(pid, id)))
+              }
+              if (size < maxBucket) { ids = id :: ids; size += 1 }
             }
-            ids = id :: ids
+            state.update(BucketState(ids))
+            maxIdle.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(ids))
-          out.result().iterator
       }
   }
 

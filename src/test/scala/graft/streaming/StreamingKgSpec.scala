@@ -245,6 +245,85 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: idle eviction drops the bucket, re-ingest restarts the group") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // 1 ms idle: any later batch finds the bucket expired (the timeout
+    // check runs on every batch for every key). NOTE: with a
+    // processing-time timeout registered, the engine ALWAYS schedules
+    // another timeout-check batch, so processAllAvailable() never sees a
+    // quiescent stream and would block forever — poll the sink instead.
+    val q = StreamingKg.exactDedupStream(source.toDS(), maxIdle = Some("1 millisecond"))
+      .toDF("doc_id", "rep_id", "is_dup")
+      .writeStream.format("memory").queryName("evict_dedup")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("evict_dedup").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(spark.table("evict_dedup").count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      source.addData((1L, "same text"), (2L, "same text"))
+      awaitRows(2)
+      assert(spark.table("evict_dedup").as[(Long, Long, Boolean)].collect().toSet ==
+        Set((1L, 1L, false), (2L, 1L, true)))
+      Thread.sleep(200) // idle past the timeout; eviction fires on a later batch
+      // the SAME text re-ingested after eviction: fresh group, own rep
+      source.addData((9L, "same text"))
+      awaitRows(3)
+      val rows = spark.table("evict_dedup").as[(Long, Long, Boolean)].collect().toSet
+      assert(rows.contains((9L, 9L, false)), s"state must have been evicted: $rows")
+    } finally q.stop()
+  }
+
+  test("minhash candidates: hot-bucket cap bounds emissions on a boilerplate corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 IDENTICAL docs: every band bucket is maximally hot. Uncapped,
+    // doc k emits k-1 pairs per band (O(n²) total); with maxBucket=4
+    // only the first 4 docs are stored, so every later arrival emits
+    // exactly 4 pairs per band — the distinct pair set is {(i, j):
+    // i ∈ first 4 stored, j later}, NOT all C(40,2) pairs.
+    val text = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    val docs = (1L to 40L).map(id => (id, text))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingKg.minhashCandidatesStream(source.toDS(), maxBucket = 4)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("capped_minhash")
+      .outputMode("append").start()
+    try {
+      source.addData(docs: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("capped_minhash").as[(Long, Long)].collect().toSet
+      val expected = (for { i <- 1L to 4L; j <- (i + 1) to 40L } yield (i, j)).toSet
+      assert(pairs == expected, s"got ${pairs.size}, want ${expected.size}")
+      // bounded: far below the uncapped C(40,2) = 780 pair universe
+      assert(pairs.size == 150)
+    } finally q.stop()
+  }
+
+  test("simhash pairs: hot-bucket cap bounds emissions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = (1L to 30L).map(id => (id, text))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingKg.simhashPairsStream(source.toDS(), maxHamming = 3, maxBucket = 5)
+      .toDF("a", "b", "hamming")
+      .writeStream.format("memory").queryName("capped_simhash")
+      .outputMode("append").start()
+    try {
+      source.addData(docs: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("capped_simhash")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val expected = (for { i <- 1L to 5L; j <- (i + 1) to 30L } yield (i, j)).toSet
+      assert(pairs == expected)
+    } finally q.stop()
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
