@@ -111,9 +111,15 @@ object Linking {
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
+    // LAZY localCheckpoint throughout the loop (r4): local checkpointing
+    // is cache-based, so the Σ aggregate below materializes the cached
+    // partitions AND truncates lineage in ONE job — the eager form paid
+    // a separate checkpoint job before every Σ job (2 barriers/round;
+    // barrier latency is this sandbox's dominant CC cost, BENCH.md
+    // r3 "identical-plan rep spread").
     var comp = sym.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Σcomp decreases strictly every round until fixpoint (labels are
     // per-node monotone non-increasing) — a single cheap aggregate
     // doubles as the convergence test (no extra join). decimal(38,0):
@@ -134,13 +140,15 @@ object Linking {
         .select($"node",
           least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
       // pointer-jumping: comp ← comp of comp (path halving, makes the
-      // label hop two steps per round instead of one); one checkpoint
-      // per round cuts lineage and is the only materializing job
+      // label hop two steps per round instead of one); the LAZY
+      // checkpoint is materialized by the Σ aggregate right below —
+      // one job per round computes the jump, caches it (lineage cut)
+      // and tests convergence
       val jumped = next.as("a")
         .join(next.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           least(col("a.comp"), coalesce(col("b.comp"), col("a.comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val newSigma = sigmaOf(jumped)
       comp = jumped
       converged = newSigma.compareTo(sigma) == 0
