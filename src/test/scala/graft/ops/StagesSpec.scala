@@ -72,4 +72,33 @@ class StagesSpec extends SparkSpec {
       .select("conv_id", "key").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fromStages == declarative)
   }
+
+  test("materializeMentionEval: durable resumable evaluation, parity with the driver query") {
+    val root = Files.createTempDirectory("graft_eval_stages").toString
+    val first = Stages.materializeMentionEval(spark, "/root/testdata/sf0.001", root)
+    assert(first.map(_.stage) == Seq("transcripts", "eval_tokens", "eval_gold",
+      "eval_pred", "mention_eval"))
+    assert(first.forall(!_.skipped))
+    // the materialized report equals the in-session driver query row
+    val durable = spark.read.parquet(s"$root/mention_eval").collect()
+    val inSession = graft.SparkEntry.queries("kg_mention_eval")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(durable.length == 1 && inSession.length == 1)
+    assert(durable.head.toSeq == inSession.head.toSeq)
+    // killed-run resume: losing pred tagging + the report restarts there
+    // only — tokenization and gold tagging are read back, not re-run
+    def delete(p: String): Unit = {
+      val dir = new java.io.File(p)
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+    delete(s"$root/eval_pred")
+    delete(s"$root/mention_eval")
+    val second = Stages.materializeMentionEval(spark, "/root/testdata/sf0.001", root)
+    val skipped = second.map(r => r.stage -> r.skipped).toMap
+    assert(skipped("transcripts") && skipped("eval_tokens") && skipped("eval_gold"))
+    assert(!skipped("eval_pred") && !skipped("mention_eval"))
+    assert(spark.read.parquet(s"$root/mention_eval").collect().head.toSeq ==
+      durable.head.toSeq)
+  }
 }
