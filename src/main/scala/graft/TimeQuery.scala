@@ -36,18 +36,38 @@ object TimeQuery {
     })
     val fn = SparkEntry.queries(name)
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val times = (0 until reps).map { _ =>
+    // stage rows are attributed to reps by snapshotting the queue size
+    // at each rep boundary (the listener bus is async — the short sleep
+    // lets a rep's trailing stage events land before its mark), so the
+    // printed slowest stages name their rep and the warmup count's
+    // stages are excluded instead of polluting the ranking
+    Thread.sleep(200)
+    val repMarks = new Array[Int](reps + 1)
+    repMarks(0) = stages.size
+    val times = (0 until reps).map { r =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      repMarks(r + 1) = stages.size
       (n, sec)
     }
     SparkEntry.clearCaches()
     spark.stop() // drain the listener bus before reading stage rows
     import scala.jdk.CollectionConverters._
-    val top = stages.asScala.toSeq.sortBy(-_._2).take(10)
-      .map { case (id, ms, nt, nm) =>
-        s"""{"stage":$id,"ms":$ms,"tasks":$nt,"name":"$nm"}""" }
+    def repOf(idx: Int): Int = {
+      var r = reps - 1 // late arrivals clamp to the final rep
+      var i = 0
+      while (i < reps) {
+        if (idx < repMarks(i + 1)) { r = i; i = reps } else i += 1
+      }
+      r
+    }
+    val top = stages.asScala.toVector.zipWithIndex
+      .filter(_._2 >= repMarks(0)) // drop warmup stages
+      .sortBy(-_._1._2).take(10)
+      .map { case ((id, ms, nt, nm), idx) =>
+        s"""{"stage":$id,"rep":${repOf(idx)},"ms":$ms,"tasks":$nt,"name":"$nm"}""" }
     println(s"""{"query":"$name","sf":"$sfDir","rows":${times.head._1},""" +
       s""""reps":[${times.map(t => f"${t._2}%.3f").mkString(",")}],""" +
       s""""slowest_stages":[${top.mkString(",")}]}""")
