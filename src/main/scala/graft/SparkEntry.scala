@@ -153,16 +153,24 @@ object SparkEntry {
       // array sides, and without materialization each reference
       // re-executes the tokenize+Viterbi subtree (measured 32 s vs <1 s
       // at sf0.001). The raw turns are repartitioned so the CPU-heavy
-      // tagging checkpoints run at full width (16.3 s single-task →
-      // 3.8 s best at sf0.1/32c), and the tokenized sentences are
-      // themselves checkpointed so BOTH taggers share one tokenization
-      // pass (eager DataFrame actions do not share shuffle output).
+      // tagging runs at full width (16.3 s single-task → 3.8 s best at
+      // sf0.1/32c), and the tokenized sentences are themselves
+      // checkpointed so BOTH taggers share one tokenization pass. r4
+      // barrier budget: toks stays EAGER (it feeds both tag subtrees,
+      // which the report job runs CONCURRENTLY — an eager checkpoint
+      // guarantees one tokenization instead of a cache race), while
+      // gold/pred are LAZY (each is referenced once; local checkpointing
+      // is cache-based, so the report job materializes them and cuts
+      // lineage in ITS OWN barrier). Two barriers total instead of four
+      // — per-barrier host steal made the eager form the most
+      // steal-sensitive query in the suite (31 s outlier reps vs a
+      // 1.3 s min).
       val toks = Segmentation.tokenized(
         turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
         .localCheckpoint(true)
-      val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(true)
+      val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(false)
       val pred = byTurn(Crf.tag(toks,
-        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
+        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(false)
       Evaluation.mentionPrfReport(gold, pred)
     }),
     // Per-SUBCLASS mention-eval breakdown
@@ -178,13 +186,14 @@ object SparkEntry {
       def byTurn(df: DataFrame): DataFrame = df.select(
         concat(col("conv_id"), lit("#"), col("turn_idx")).as("conv_id"),
         col("class_id"), col("begin"), col("text"))
+      // eager toks + lazy mention tables — kg_mention_eval's barrier budget
       val toks = Segmentation.tokenized(
         turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism))
         .localCheckpoint(true)
       val gold = byTurn(GazetteerTagger.tag(toks).toDF())
-        .withColumn("subclass", col("text")).localCheckpoint(true)
+        .withColumn("subclass", col("text")).localCheckpoint(false)
       val pred = byTurn(Crf.tag(toks,
-        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(true)
+        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(false)
       Evaluation.mentionCountsBySubclassByDoc(gold, pred)
         .groupBy("label")
         .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
