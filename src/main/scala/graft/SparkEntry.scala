@@ -170,7 +170,8 @@ object SparkEntry {
         .localCheckpoint(true)
       val gold = byTurn(GazetteerTagger.tag(toks).toDF()).localCheckpoint(false)
       val pred = byTurn(Crf.tag(toks,
-        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(false)
+        Crf.dictionaryModel(GazetteerTagger.gazetteer),
+        withConfidence = false).toDF()).localCheckpoint(false)
       Evaluation.mentionPrfReport(gold, pred)
     }),
     // Per-SUBCLASS mention-eval breakdown
@@ -193,7 +194,8 @@ object SparkEntry {
       val gold = byTurn(GazetteerTagger.tag(toks).toDF())
         .withColumn("subclass", col("text")).localCheckpoint(false)
       val pred = byTurn(Crf.tag(toks,
-        Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF()).localCheckpoint(false)
+        Crf.dictionaryModel(GazetteerTagger.gazetteer),
+        withConfidence = false).toDF()).localCheckpoint(false)
       Evaluation.mentionCountsBySubclassByDoc(gold, pred)
         .groupBy("label")
         .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
@@ -204,7 +206,8 @@ object SparkEntry {
       // CRF route: broadcast-weights Viterbi with the dictionary-exact
       // model — must reproduce gazetteer tagging bit-for-bit (minus the
       // marginal-based confidence, excluded from the oracle compare)
-      Crf.tag(tokenizedOf(s, dir), Crf.dictionaryModel(GazetteerTagger.gazetteer))
+      Crf.tag(tokenizedOf(s, dir), Crf.dictionaryModel(GazetteerTagger.gazetteer),
+          withConfidence = false)
         .toDF().drop("confidence")
     }),
     "kg_scored" -> ((s, dir) => {

@@ -366,7 +366,15 @@ object Crf {
     * BIO-decode (`data.py:236-273`) → mentions with mean-marginal
     * confidence.
     */
-  def tag(ts: Dataset[TokenizedSentence], model: Model): Dataset[Mention] = {
+  /** `withConfidence = false` skips the forward-backward pass entirely
+    * (marginals cost ~3× Viterbi — log-sum-exp per cell vs max) and
+    * emits confidence 1.0: the decoded SPANS are identical, so callers
+    * that drop or ignore the confidence column (the oracle-checked
+    * driver queries, the mention evaluations) get the same mentions for
+    * a fraction of the CPU.
+    */
+  def tag(ts: Dataset[TokenizedSentence], model: Model,
+          withConfidence: Boolean = true): Dataset[Mention] = {
     val spark = ts.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -377,7 +385,7 @@ object Crf {
         if (toks.isEmpty) Iterator.empty
         else {
           val feats = tokenFeatures(toks).map(fs => "__bias__" :: fs)
-          decodeWithEm(m, s, emissionScores(m, feats))
+          decodeWithEm(m, s, emissionScores(m, feats), withConfidence)
         }
       }
     }
@@ -388,15 +396,20 @@ object Crf {
     * [[tagWithTable]] (joined emissions).
     */
   private def decodeWithEm(m: Model, s: TokenizedSentence,
-                           em: Array[Array[Double]]): Iterator[Mention] = {
+                           em: Array[Array[Double]],
+                           withConfidence: Boolean = true): Iterator[Mention] = {
     val toks = s.tokens.toIndexedSeq
     val oIdx = m.labelIndex.getOrElse("O", -1)
     val pred = viterbiEm(m, em)
-    val marg = marginalsEm(m, em)
-    val conf = toks.indices.map { i =>
-      val l = m.labelIndex(pred(i))
-      if (l == oIdx) 0.0 else marg(i)(l)
-    }
+    val conf =
+      if (!withConfidence) toks.indices.map(_ => 1.0)
+      else {
+        val marg = marginalsEm(m, em)
+        toks.indices.map { i =>
+          val l = m.labelIndex(pred(i))
+          if (l == oIdx) 0.0 else marg(i)(l)
+        }
+      }
     Labeling.decode(toks, pred, conf).iterator.map { d =>
       // class id from the first token's label (B-cls / I-cls)
       val firstLabel = pred(toks.indexWhere(_.begin == d.begin))
