@@ -264,6 +264,10 @@ object SparkEntry {
     "txt_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "txt_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "txt_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // Gopher-style repetition mass (top-bigram + duplicated-5-gram
+    // character fractions) — the standard boilerplate/loop-text filter
+    // signals for pre-training corpora
+    "txt_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
@@ -943,6 +947,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
         |FROM t""".stripMargin,
+
+    // Gopher repetition mass in SQL: same occurrence-mass definition and
+    // the same (count, gram) lexicographic top-bigram tie-break (struct
+    // max on both engines).
+    "txt_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                 length(text) AS n_chars FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        |  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2
+        |),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max({'c': c, 'g': g}) AS top FROM bgc GROUP BY 1),
+        |fg AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+        |  WHERE len(ws) >= 5
+        |),
+        |fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(c * length(g)) AS dup_chars
+        |        FROM fgc WHERE c >= 2 GROUP BY 1)
+        |SELECT w.doc_id, CAST(w.n_chars AS BIGINT) AS n_chars,
+        |  CAST(coalesce(struct_extract(top, 'c'), 0) AS BIGINT) AS top_bigram_count,
+        |  CASE WHEN w.n_chars > 0 THEN round(
+        |    CAST(coalesce(struct_extract(top, 'c') * length(struct_extract(top, 'g')), 0) AS DOUBLE)
+        |      / w.n_chars, 6) ELSE 0.0 END AS top_bigram_frac,
+        |  CASE WHEN w.n_chars > 0 THEN round(
+        |    CAST(coalesce(dup_chars, 0) AS DOUBLE) / w.n_chars, 6)
+        |  ELSE 0.0 END AS dup_5gram_frac
+        |FROM w LEFT JOIN topbg ON w.doc_id = topbg.doc_id
+        |LEFT JOIN dup ON w.doc_id = dup.doc_id""".stripMargin,
 
     // graft.nlp.Hashes.fingerprint re-stated in SQL: base-257 rolling
     // polynomial mod the Mersenne prime 2^61-1 via HUGEINT list_reduce

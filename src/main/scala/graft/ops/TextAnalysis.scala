@@ -51,6 +51,53 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    * standard pre-training quality filters for boilerplate/loop text):
+    * per document, the character MASS of the most frequent word bigram
+    * (count × bigram chars / total chars) and of all duplicated
+    * word `n`-grams (Σ count × gram chars / total chars, grams with
+    * count ≥ 2). These are the occurrence-MASS variants: the paper's
+    * character-coverage form needs per-document interval union, which is
+    * neither declarative nor oracle-able — mass is deterministic, maps
+    * to two groupBys, and upper-bounds coverage (a filter thresholding
+    * mass is strictly more aggressive, the conservative direction for
+    * dedup-style filtering). Tie-break for "the" top bigram: max
+    * (count, gram) lexicographically — identical rule in the SQL oracle.
+    *
+    * Scale shape: two explode→groupBy aggregations keyed by
+    * (doc_id, gram) with map-side partial aggregation; grams never
+    * leave their doc's rows except inside those keyed shuffles.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"),
+      length(col("text")).as("n_chars"))
+    def grams(k: Int) = when(size(col("ws")) >= k,
+      expr(s"transform(sequence(0, size(ws) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))"))
+      .otherwise(array().cast("array<string>"))
+    val bg = w.select(col("doc_id"), col("n_chars"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "n_chars", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_chars")
+      .agg(max(struct(col("c"), col("g"))).as("top"))
+      .select(col("doc_id"), col("top.c").as("top_c"),
+        (col("top.c") * length(col("top.g"))).as("top_chars"))
+    val dup = w.select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("c") * length(col("g"))).as("dup_chars"))
+    w.select(col("doc_id"), col("n_chars"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+        coalesce(col("top_c"), lit(0L)).cast("bigint").as("top_bigram_count"),
+        when(col("n_chars") > 0, round(coalesce(col("top_chars"), lit(0L))
+          .cast("double") / col("n_chars"), 6)).otherwise(lit(0.0))
+          .as("top_bigram_frac"),
+        when(col("n_chars") > 0, round(coalesce(col("dup_chars"), lit(0L))
+          .cast("double") / col("n_chars"), 6)).otherwise(lit(0.0))
+          .as(s"dup_${n}gram_frac"))
+  }
+
   /** Rolling-hash document fingerprint (base-257 poly mod 2^61-1) via
     * the native codegen expression graft.functions.TextFingerprint —
     * stays in WholeStageCodegen, no row deserialization. Bit-identical

@@ -238,6 +238,27 @@ class CurationSpec extends SparkSpec {
     assert(LangId.detect("12345 67890 ...") == "und")
   }
 
+  test("repetition stats: hand-computed Gopher mass fractions") {
+    import spark.implicits._
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top ("a b", 3);
+    // chars = 11; top mass = 3*3/11. 5-grams = [a b a b a, b a b a b] —
+    // each once → dup mass 0.
+    // "x y z": top bigram count 1, no 5-grams. "w" alone: no bigrams.
+    // "r r r r r r": five "r r" bigrams → top (r r, 5), mass 15/11;
+    // 5-grams ["r r r r r" ×2] → dup mass 2*9/11.
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "x y z"), (3L, "w"), (4L, "r r r r r r")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((11L, 3L, r6(9.0 / 11), 0.0)))
+    assert(got(2L) == ((5L, 1L, r6(3.0 / 5), 0.0)))
+    assert(got(3L) == ((1L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((11L, 5L, r6(15.0 / 11), r6(18.0 / 11))))
+  }
+
   test("fingerprint is stable and collision-free on distinct corpus docs") {
     import spark.implicits._
     val fp = TextAnalysis.fingerprint(corpus).as[(Long, Long)].collect().toMap
