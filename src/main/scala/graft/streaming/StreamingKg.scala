@@ -396,6 +396,106 @@ object StreamingKg {
       }
   }
 
+  /** END-TO-END streaming MinHash dedup — the packaged form of the
+    * "exact-Jaccard verification = downstream foreachBatch join" pattern
+    * the candidate operators document. Per micro-batch of documents:
+    *
+    *  1. the batch's hashed shingle sets and band rows are appended to
+    *     parquet stores under `storeDir`, one `batch_id=<id>` directory
+    *     per batch written with overwrite — a REPLAYED batch after a
+    *     failure rewrites its own directory, so the stores are
+    *     idempotent under the streaming checkpoint's retry semantics;
+    *  2. the batch's band rows join the FULL band-row store (which now
+    *     includes the batch itself) on bucket — each unordered candidate
+    *     pair surfaces exactly once, in the batch where its LATER member
+    *     arrives (intra-batch pairs via self-inclusion + a < b);
+    *  3. candidate id-pairs join BACK to the shingle store on both sides
+    *     for exact-Jaccard verification (the same candidates-then-
+    *     join-back shape as batch [[graft.ops.Dedup.minhashLsh]] — band
+    *     rows and candidates stay payload-free), and verified pairs land
+    *     in `outputDir/batch_id=<id>` (idempotent like the stores).
+    *
+    * Identical shingle/signature/bucket arithmetic to the batch operator
+    * (Dedup.docShingles + Hashes.minhash + Dedup.bandBucket), so the
+    * accumulated output over any prefix of batches EQUALS batch
+    * `minhashLsh` over the accumulated corpus (parity tested). Assumes
+    * unique doc_ids across the stream (the batch operator's contract).
+    * Output rows are SET-semantic: a batch replayed after later batches
+    * already ran re-joins against the grown store and may duplicate
+    * pairs across batch_id directories (never lose any) — read the
+    * output `.distinct()`, exactly like the candidate streams' sinks.
+    *
+    * Scale note: step 2 re-reads the band store each batch, trading the
+    * stateful variant's ([[minhashCandidatesStream]]) state-store memory
+    * for storage scans — at scale bucket both stores by their join key
+    * (bucket / doc_id) so the per-batch joins are co-located, or use the
+    * stateful candidates + this operator's verification join only.
+    */
+  def minhashDedupStream(spark: SparkSession, inputDir: String,
+                         outputDir: String, checkpointDir: String,
+                         storeDir: String,
+                         shingleN: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, threshold: Double = 0.5,
+                         availableNow: Boolean = true): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shingled = batch.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id, graft.ops.Dedup.docShingles(text, shingleN))
+          }.toDF("doc_id", "shingles")
+          .persist()
+        if (shingled.limit(1).count() > 0) {
+          shingled.write.mode("overwrite")
+            .parquet(s"$storeDir/shingles/batch_id=$batchId")
+          val batchBands = graft.ops.Dedup
+            .bandedBuckets(shingled, numPerm, bands)
+          batchBands.write.mode("overwrite")
+            .parquet(s"$storeDir/bands/batch_id=$batchId")
+          val allBands = spark.read
+            .option("basePath", s"$storeDir/bands")
+            .parquet(s"$storeDir/bands")
+            .select("doc_id", "bucket")
+          val allShingles = spark.read
+            .option("basePath", s"$storeDir/shingles")
+            .parquet(s"$storeDir/shingles")
+            .select("doc_id", "shingles")
+          val cand = batchBands
+            .join(allBands.select(col("doc_id").as("b"), col("bucket")),
+              Seq("bucket"))
+            .select(least(col("doc_id"), col("b")).as("a"),
+              greatest(col("doc_id"), col("b")).as("b"))
+            .filter(col("a") < col("b")).distinct()
+          cand
+            .join(allShingles.select(col("doc_id").as("a"),
+              col("shingles").as("sha")), Seq("a"))
+            .join(allShingles.select(col("doc_id").as("b"),
+              col("shingles").as("shb")), Seq("b"))
+            .select(col("a"), col("b"), col("sha"), col("shb"))
+            .as[(Long, Long, Array[Long], Array[Long])]
+            .map { case (x, y, sa, sb) =>
+              val inter = sa.toSet.intersect(sb.toSet).size
+              (x, y, inter.toDouble / (sa.length + sb.length - inter))
+            }.toDF("a", "b", "jaccard")
+            .filter(col("jaccard") >= threshold)
+            .write.mode("overwrite")
+            .parquet(s"$outputDir/batch_id=$batchId")
+        }
+        shingled.unpersist(false)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark
     * (late turns beyond the watermark are dropped from their window).
     */

@@ -324,6 +324,40 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashDedupStream: end-to-end verified pairs == batch minhashLsh") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("mmd_in").toString
+    val out = Files.createTempDirectory("mmd_out").toString
+    val chk = Files.createTempDirectory("mmd_chk").toString
+    val store = Files.createTempDirectory("mmd_store").toString
+    val words = (0 until 60).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.updated(7, "CHANGED").mkString(" ")), // near-dup of 1
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")), // unrelated
+      (4L, words.mkString(" ")), // exact dup of 1 (cross-batch)
+      (5L, words.updated(3, "ALSO").mkString(" "))) // near-dup, batch 2
+    // batch 1: docs 1-3; batch 2: docs 4-5 (cross-batch pairs 1-4, 1-5...)
+    corpus.take(3).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    corpus.drop(3).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    val q = StreamingKg.minhashDedupStream(spark, in, out, chk, store,
+      shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    q.awaitTermination(120000)
+    val streamed = spark.read.option("basePath", out).parquet(out)
+      .select("a", "b", "jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Dedup.minhashLsh(corpus.toDF("doc_id", "text"),
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the cross-batch exact dup and both near-dups were found
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
