@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * pandas-UDF batch loop: per-partition init of the codec, batch
   * iteration, columnar output).
   *
-  * The codec is a SEAM ([[MediaCodec]]) with two implementations:
+  * The codec is a SEAM ([[MediaCodec]]) with three implementations:
   *  - [[ImageIoCodec]] — a REAL image codec over the JDK's built-in
   *    `javax.imageio` readers (PNG/JPEG/BMP/GIF ship with the JVM — no
   *    external dependency): true dimensions + frame counts, luminance
   *    histogram features, real rescale-and-reencode resize.
-  *  - [[StubCodec]] — a clearly-marked deterministic fake for media the
-  *    sandbox cannot decode (audio/video codecs are absent) and for the
+  *  - [[WavCodec]] — a REAL audio codec for RIFF/WAVE PCM (pure-JDK
+  *    header + sample parser): true sample rate / channels / frame
+  *    counts, per-segment RMS + zero-crossing features, real
+  *    resample-and-reencode "resize".
+  *  - [[StubCodec]] — a clearly-marked deterministic fake for the one
+  *    modality the JDK has no codec for (video) and for the
   *    DuckDB-oracle-able driver query, whose payloads are synthetic
   *    UTF-8 bytes, not real media.
   */
@@ -163,6 +167,147 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", baos)
         baos.toByteArray
       }
+  }
+
+  /** REAL audio codec for RIFF/WAVE PCM payloads — a pure-JDK header +
+    * sample parser (no javax.sound dependency, so it works on any
+    * executor). The image-shaped [[MediaCodec]] contract maps naturally:
+    * decode = (sample_rate, channels, n_frames = sample frames);
+    * features = 4 per-segment RMS energies + 4 per-segment zero-crossing
+    * rates over the mono mixdown (the classic cheap audio-quality
+    * signals); resize(targetRate, targetChannels) = nearest-neighbor
+    * resample + channel mixdown/spread, re-encoded as 16-bit PCM WAV.
+    * Non-WAV / non-PCM / corrupt payloads yield None/zeros like the
+    * image codec. Video remains the one stubbed modality (no codec in
+    * the JDK).
+    */
+  object WavCodec extends MediaCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private final case class Wav(channels: Int, sampleRate: Int,
+                                 bits: Int, dataOff: Int, dataLen: Int) {
+      def bytesPerFrame: Int = channels * (bits / 8)
+      def frames: Int = dataLen / bytesPerFrame
+      /** Sample of frame i, channel c, as a double in [-1, 1). */
+      def sample(b: Array[Byte], i: Int, c: Int): Double = {
+        val o = dataOff + i * bytesPerFrame + c * (bits / 8)
+        if (bits == 16) (le16(b, o).toShort).toDouble / 32768.0
+        else ((b(o) & 0xff) - 128).toDouble / 128.0
+      }
+      /** Mono mixdown of frame i. */
+      def mono(b: Array[Byte], i: Int): Double = {
+        var s = 0.0; var c = 0
+        while (c < channels) { s += sample(b, i, c); c += 1 }
+        s / channels
+      }
+    }
+
+    private def parse(b: Array[Byte]): Option[Wav] = {
+      if (b.length < 44) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(b, off + 4)
+        if (sz < 0) return None
+        val avail = math.min(sz, b.length - off - 8)
+        id match {
+          case "fmt " if avail >= 16 =>
+            fmt = Some((le16(b, off + 8), le16(b, off + 10),
+              le32(b, off + 12), le16(b, off + 22)))
+          case "data" => data = Some((off + 8, avail))
+          case _ =>
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      for {
+        (f, ch, sr, bits) <- fmt
+        (doff, dlen) <- data
+        if f == 1 && ch > 0 && ch <= 64 && sr > 0 && (bits == 8 || bits == 16)
+      } yield Wav(ch, sr, bits, doff, dlen)
+    }
+
+    override def decodeOpt(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      parse(bytes).map(w => (w.sampleRate, w.channels, w.frames))
+
+    override def features(bytes: Array[Byte]): Array[Float] =
+      parse(bytes) match {
+        case None => new Array[Float](8)
+        case Some(w) if w.frames == 0 => new Array[Float](8)
+        case Some(w) =>
+          val out = new Array[Float](8)
+          val segLen = math.max(1, w.frames / 4)
+          var seg = 0
+          while (seg < 4) {
+            val from = seg * segLen
+            val until = if (seg == 3) w.frames else math.min(w.frames, from + segLen)
+            var sumSq = 0.0; var zc = 0; var prev = 0.0; var n = 0
+            var i = from
+            while (i < until) {
+              val s = w.mono(bytes, i)
+              sumSq += s * s
+              if (n > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+              prev = s; n += 1; i += 1
+            }
+            if (n > 0) {
+              out(seg) = math.sqrt(sumSq / n).toFloat
+              out(4 + seg) = zc.toFloat / n
+            }
+            seg += 1
+          }
+          out
+      }
+
+    /** "Resize" = resample to `targetRate` Hz and `targetChannels`
+      * channels (mixdown to mono when 1, channel-mapped otherwise),
+      * nearest-neighbor in time, 16-bit PCM output.
+      */
+    override def resizeBytes(bytes: Array[Byte], targetRate: Int,
+                             targetChannels: Int): Option[Array[Byte]] =
+      parse(bytes).filter(w => targetRate > 0 && targetChannels > 0 &&
+        w.frames > 0).map { w =>
+        val outFrames = math.max(1,
+          (w.frames.toLong * targetRate / w.sampleRate).toInt)
+        val data = new Array[Byte](outFrames * targetChannels * 2)
+        var i = 0
+        while (i < outFrames) {
+          val src = math.min(w.frames - 1,
+            (i.toLong * w.sampleRate / targetRate).toInt)
+          var c = 0
+          while (c < targetChannels) {
+            val v =
+              if (targetChannels == 1) w.mono(bytes, src)
+              else w.sample(bytes, src, c % w.channels)
+            val s = math.max(-32768, math.min(32767, math.round(v * 32768.0))).toInt
+            val o = (i * targetChannels + c) * 2
+            data(o) = (s & 0xff).toByte
+            data(o + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        header(targetRate, targetChannels, data.length) ++ data
+      }
+
+    /** Canonical 44-byte PCM WAV header. */
+    private[graft] def header(rate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array()
+    }
   }
 
   /** Attach a synthetic binary payload column (UTF-8 of the text — in a

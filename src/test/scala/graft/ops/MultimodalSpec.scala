@@ -107,6 +107,46 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(0L).toSeq == resized2(0L).toSeq)
   }
 
+  test("WavCodec: REAL decode/features/resample of in-test-generated PCM WAV") {
+    import spark.implicits._
+    // 0.1 s of 440 Hz sine at 8 kHz stereo (right channel half volume)
+    val rate = 8000; val frames = 800
+    val pcm = new Array[Byte](frames * 2 * 2)
+    (0 until frames).foreach { i =>
+      val v = math.sin(2 * math.Pi * 440 * i / rate)
+      Seq((v, 0), (v / 2, 1)).foreach { case (s, c) =>
+        val x = math.round(s * 32767).toInt
+        val o = (i * 2 + c) * 2
+        pcm(o) = (x & 0xff).toByte; pcm(o + 1) = ((x >> 8) & 0xff).toByte
+      }
+    }
+    val wav = Multimodal.WavCodec.header(rate, 2, pcm.length) ++ pcm
+    // decode: true rate / channels / frame count
+    assert(Multimodal.WavCodec.decodeOpt(wav).contains((rate, 2, frames)))
+    // features: a sine's RMS is ~A/sqrt(2); mono mixdown of (v, v/2) has
+    // amplitude 0.75 → RMS ≈ 0.53 per segment; ZCR ≈ 2×440/8000 = 0.11
+    val f = Multimodal.WavCodec.features(wav)
+    (0 until 4).foreach(i => assert(math.abs(f(i) - 0.53) < 0.02, s"rms seg $i = ${f(i)}"))
+    (4 until 8).foreach(i => assert(math.abs(f(i) - 0.11) < 0.02, s"zcr seg $i = ${f(i)}"))
+    // resample to 4 kHz mono: output re-parses with halved frames and the
+    // zero-crossing RATE is preserved (same tone, half the samples/sec)
+    val down = Multimodal.WavCodec.resizeBytes(wav, 4000, 1).get
+    assert(Multimodal.WavCodec.decodeOpt(down).contains((4000, 1, frames / 2)))
+    val f2 = Multimodal.WavCodec.features(down)
+    (4 until 8).foreach(i => assert(math.abs(f2(i) - 0.22) < 0.03, s"zcr seg $i = ${f2(i)}"))
+    // non-WAV payloads degrade to None/zeros, and the pipeline keeps the
+    // failure rows with (-1, -1, -1)
+    assert(Multimodal.WavCodec.decodeOpt("not a wav".getBytes).isEmpty)
+    val mixed = Seq((1L, "audio", wav), (2L, "audio", "junk junk junk".getBytes))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.decodeFeatures(mixed, codec = Multimodal.WavCodec)
+      .select("doc_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((rate, 2, frames)))
+    assert(out(2L) == ((-1, -1, -1)))
+  }
+
   test("sampleFrames: one row per sampled frame, strides respected, bytes partition") {
     import spark.implicits._
     val all = Multimodal.sampleFrames(Multimodal.withPayload(docs), stride = 1)
