@@ -3,13 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** spark-submit entry for the checkpointed KG materialization:
-  * `graft.Materialize <sfDir> <outputRoot>` — runs (or resumes) the
-  * transcripts → mentions → edges → triples → nodes stage chain with
-  * per-partition lineage (see graft.ops.Stages).
+  * `graft.Materialize <sfDir> <outputRoot> [--with-eval]` — runs (or
+  * resumes) the transcripts → mentions → edges → triples → nodes stage
+  * chain with per-partition lineage (see graft.ops.Stages);
+  * `--with-eval` additionally runs the durable mention-evaluation route
+  * (eval_tokens → eval_gold → eval_pred → mention_eval), sharing the
+  * `transcripts` stage.
   */
 object Materialize {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, root) = args.take(2)
+    val withEval = args.contains("--with-eval")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -19,8 +23,10 @@ object Materialize {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reports = ops.Stages.materializeAll(spark, sfDir, root)
-    reports.foreach { r =>
+    val reports = ops.Stages.materializeAll(spark, sfDir, root) ++
+      (if (withEval) ops.Stages.materializeMentionEval(spark, sfDir, root)
+       else Nil)
+    reports.distinctBy(_.stage).foreach { r =>
       val n = spark.read.parquet(r.outputPath).count()
       println(s"[materialize] stage=${r.stage} skipped=${r.skipped} rows=$n path=${r.outputPath}")
     }
