@@ -179,13 +179,14 @@ object Similarity extends Serializable {
   private def Hashes_mix64(x: Long): Long = graft.nlp.Hashes.mix64(x)
 
   /** IVF (inverted-file) approximate nearest neighbor — the second scale
-    * path besides LSH: a coarse quantizer of `nlist` centroids (seeded
-    * deterministic Lloyd's iterations on a hash-sampled subset, trained
-    * driver-local like every model in this engine and broadcast)
-    * partitions the corpus into cells; each query probes its `nProbe`
-    * most-similar centroids and exact-re-ranks only those cells'
-    * vectors. Candidate retrieval is a cell-id equi-join — shuffle
-    * volume scales with nProbe/nlist of the corpus, not all of it.
+    * path besides LSH: a coarse quantizer of `nlist` centroids
+    * (deterministic hash-sampled init, then DISTRIBUTED Lloyd's
+    * iterations over the FULL corpus — broadcast centroids out,
+    * model-sized per-partition sum/count partials back, r4) partitions
+    * the corpus into cells; each query probes its `nProbe` most-similar
+    * centroids and exact-re-ranks only those cells' vectors. Candidate
+    * retrieval is a cell-id equi-join — shuffle volume scales with
+    * nProbe/nlist of the corpus, not all of it.
     *
     * With nProbe == nlist every cell is probed and the result equals
     * [[bruteForceTopK]] exactly (tested) — recall degrades gracefully as
@@ -228,15 +229,39 @@ object Similarity extends Serializable {
       }
       best
     }
+    // DISTRIBUTED Lloyd refinement (r4 — was sample-on-driver): each
+    // iteration broadcasts the centroids and reduces per-partition
+    // (cells × dims) sums + counts — only model-sized partials ever
+    // reach the driver, and the centroids reflect the FULL corpus, not
+    // the init sample. Assignment arithmetic is identical to the final
+    // cell assignment below, so full-probe exactness is untouched
+    // (centroids only steer which cell a vector lands in).
     var it = 0
     while (it < iters) {
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { rows =>
+        val cs = bcC.value
+        val sums = Array.fill(cells0, dims)(0.0)
+        val counts = new Array[Long](cells0)
+        rows.foreach { case (_, e) =>
+          val c = assign(e, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dims) { sums(c)(i) += e(i); i += 1 }
+        }
+        Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+      }.collect() // nPartitions × (cells × dims) doubles — model-sized
+      bcC.destroy()
       val sums = Array.fill(cells0, dims)(0.0)
-      val counts = new Array[Int](cells0)
-      sample.foreach { e =>
-        val c = assign(e, centroids)
-        counts(c) += 1
-        var i = 0
-        while (i < dims) { sums(c)(i) += e(i); i += 1 }
+      val counts = new Array[Long](cells0)
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < cells0) {
+          counts(c) += pc(c)
+          var i = 0
+          while (i < dims) { sums(c)(i) += ps(c)(i); i += 1 }
+          c += 1
+        }
       }
       centroids = Array.tabulate(cells0) { c =>
         if (counts(c) == 0) centroids(c)
