@@ -140,5 +140,13 @@ class RobustnessSpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(tiny, q, 3, nlist = 16, nProbe = 16)
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(ivf == brute)
+    // repetition mass on empty / single-word text: zero fractions, no
+    // division-by-zero under ANSI mode
+    val deg = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionStats(deg)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rep(1L) == ((0L, 0L, 0.0, 0.0)))
+    assert(rep(2L) == ((4L, 0L, 0.0, 0.0)))
   }
 }
