@@ -268,6 +268,9 @@ object SparkEntry {
     // character fractions) — the standard boilerplate/loop-text filter
     // signals for pre-training corpora
     "txt_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    // the composed C4/Gopher-style keep/drop decision over the oracled
+    // quality + repetition signals (reasons in fixed order, comma-joined)
+    "txt_curation" -> ((s, dir) => TextAnalysis.curationFilter(docs(s, dir))),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
@@ -979,6 +982,46 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_5gram_frac
         |FROM w LEFT JOIN topbg ON w.doc_id = topbg.doc_id
         |LEFT JOIN dup ON w.doc_id = dup.doc_id""".stripMargin,
+
+    // curation decision = the txt_quality + txt_repetition signals put
+    // through the same fixed-order rules (concat_ws skips NULL CASE arms
+    // identically on both engines; repetition fractions compared at
+    // their 6dp-rounded values so the decision is bit-stable)
+    "txt_curation" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                 length(text) AS n_chars FROM documents),
+        |q AS (SELECT doc_id, len(ws) AS n_words,
+        |       list_max(list_transform(ws, x -> length(x))) AS max_word_len,
+        |       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+        |      FROM w),
+        |bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        |       FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max({'c': c, 'g': g}) AS top FROM bgc GROUP BY 1),
+        |fg AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |       FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+        |       WHERE len(ws) >= 5),
+        |fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(c * length(g)) AS dup_chars
+        |        FROM fgc WHERE c >= 2 GROUP BY 1),
+        |r AS (SELECT w.doc_id,
+        |  CASE WHEN w.n_chars > 0 THEN round(
+        |    CAST(coalesce(struct_extract(top, 'c') * length(struct_extract(top, 'g')), 0) AS DOUBLE)
+        |      / w.n_chars, 6) ELSE 0.0 END AS tbf,
+        |  CASE WHEN w.n_chars > 0 THEN round(
+        |    CAST(coalesce(dup_chars, 0) AS DOUBLE) / w.n_chars, 6)
+        |  ELSE 0.0 END AS d5f
+        |  FROM w LEFT JOIN topbg ON w.doc_id = topbg.doc_id
+        |  LEFT JOIN dup ON w.doc_id = dup.doc_id),
+        |j AS (SELECT q.doc_id, concat_ws(',',
+        |       CASE WHEN q.n_words < 20 THEN 'too_few_words' END,
+        |       CASE WHEN q.max_word_len > 25 THEN 'long_word' END,
+        |       CASE WHEN q.distinct_ratio < 0.45 THEN 'low_diversity' END,
+        |       CASE WHEN r.tbf > 0.06 THEN 'top_bigram_repetition' END,
+        |       CASE WHEN r.d5f > 0.1 THEN 'dup_ngram_repetition' END) AS reasons
+        |      FROM q JOIN r ON q.doc_id = r.doc_id)
+        |SELECT doc_id, reasons = '' AS keep, reasons FROM j""".stripMargin,
 
     // graft.nlp.Hashes.fingerprint re-stated in SQL: base-257 rolling
     // polynomial mod the Mersenne prime 2^61-1 via HUGEINT list_reduce

@@ -98,6 +98,33 @@ object TextAnalysis {
           .as(s"dup_${n}gram_frac"))
   }
 
+  /** Composite curation filter — the C4/Gopher-style keep/drop decision
+    * a pre-training pipeline actually applies, composed from the oracled
+    * signals ([[quality]] + [[repetitionStats]]): every violated rule
+    * contributes a reason (fixed order, comma-joined so the column is
+    * engine-portable), keep = no reasons. Thresholds are per-corpus
+    * knobs; rounded repetition fractions are compared so the decision is
+    * bit-stable across engines.
+    */
+  def curationFilter(docs: DataFrame, minWords: Int = 20, maxWordLen: Int = 25,
+                     minDistinctRatio: Double = 0.45,
+                     maxTopBigramFrac: Double = 0.06,
+                     maxDupNgramFrac: Double = 0.1): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("n_words"),
+      col("max_word_len"), col("distinct_ratio"))
+    val r = repetitionStats(docs).select(col("doc_id"),
+      col("top_bigram_frac"), col("dup_5gram_frac"))
+    q.join(r, Seq("doc_id"))
+      .select(col("doc_id"), concat_ws(",",
+        when(col("n_words") < minWords, lit("too_few_words")),
+        when(col("max_word_len") > maxWordLen, lit("long_word")),
+        when(col("distinct_ratio") < minDistinctRatio, lit("low_diversity")),
+        when(col("top_bigram_frac") > maxTopBigramFrac, lit("top_bigram_repetition")),
+        when(col("dup_5gram_frac") > maxDupNgramFrac, lit("dup_ngram_repetition"))
+      ).as("reasons"))
+      .select(col("doc_id"), (col("reasons") === "").as("keep"), col("reasons"))
+  }
+
   /** Rolling-hash document fingerprint (base-257 poly mod 2^61-1) via
     * the native codegen expression graft.functions.TextFingerprint —
     * stays in WholeStageCodegen, no row deserialization. Bit-identical
