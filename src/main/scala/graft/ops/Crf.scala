@@ -35,7 +35,11 @@ object Crf {
       transitions: Array[Array[Double]],
       start: Array[Double],
       stop: Array[Double]) {
-    def labelIndex: Map[String, Int] = labels.zipWithIndex.toMap
+    // memoized (was a def): decode consults it per token in the fused
+    // pipeline's hot loop — rebuilding a Map per lookup is exactly the
+    // allocation-in-the-fold-path pattern CLAUDE.md bans. @transient so
+    // each executor rebuilds it lazily after broadcast deserialization.
+    @transient lazy val labelIndex: Map[String, Int] = labels.zipWithIndex.toMap
   }
 
   /** Per-token feature strings (the CRF's NAME[offset]=value convention,
@@ -456,7 +460,12 @@ object Crf {
     val skeleton = meta.copy(emissions = Map.empty)
     val bc = spark.sparkContext.broadcast(skeleton)
     val L = skeleton.labels.length
-    val featRows = ts.flatMap { s =>
+    // ts feeds BOTH the feature explosion and the sentence join-back —
+    // persist so a derived tokenize pipeline isn't computed twice (the
+    // self-join-recompute trap CLAUDE.md pins), materialize the result,
+    // release the cache before returning (the minhashLsh lifecycle)
+    val tsP = ts.persist()
+    val featRows = tsP.flatMap { s =>
       val toks = s.tokens.toIndexedSeq
       if (toks.isEmpty) Iterator.empty
       else tokenFeatures(toks).iterator.zipWithIndex.flatMap { case (fs, i) =>
@@ -474,10 +483,10 @@ object Crf {
       .groupBy("conv_id", "turn_idx", "sent_idx")
       .agg(collect_list(struct(col("tok_idx"), col("lbl"), col("w"))).as("em"))
       .as[(String, Int, Int, Seq[EmCell])]
-    ts.joinWith(cells,
-        ts("conv_id") === cells("conv_id") &&
-          ts("turn_idx") === cells("turn_idx") &&
-          ts("sent_idx") === cells("sent_idx"),
+    val out = tsP.joinWith(cells,
+        tsP("conv_id") === cells("conv_id") &&
+          tsP("turn_idx") === cells("turn_idx") &&
+          tsP("sent_idx") === cells("sent_idx"),
         "left_outer")
       .mapPartitions { it =>
         val m = bc.value
@@ -492,5 +501,8 @@ object Crf {
           }
         }
       }
+      .localCheckpoint(true)
+    tsP.unpersist(false)
+    out
   }
 }

@@ -210,22 +210,25 @@ object Multimodal {
       if (b.length < 44) return None
       if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-      var off = 12
+      // offsets tracked in Long: a corrupt chunk size near 2^31 must
+      // degrade to None (the seam contract), never wrap negative and
+      // throw out of the String constructor
+      var off = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None
       var data: Option[(Int, Int)] = None
       while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(b, off + 4)
-        if (sz < 0) return None
-        val avail = math.min(sz, b.length - off - 8)
+        val o = off.toInt
+        val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(b, o + 4).toLong & 0xffffffffL // chunk size is u32
+        val avail = math.min(sz, (b.length - off - 8)).toInt
         id match {
           case "fmt " if avail >= 16 =>
-            fmt = Some((le16(b, off + 8), le16(b, off + 10),
-              le32(b, off + 12), le16(b, off + 22)))
-          case "data" => data = Some((off + 8, avail))
+            fmt = Some((le16(b, o + 8), le16(b, o + 10),
+              le32(b, o + 12), le16(b, o + 22)))
+          case "data" => data = Some((o + 8, avail))
           case _ =>
         }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        off += 8L + sz + (sz & 1L) // chunks are word-aligned
       }
       for {
         (f, ch, sr, bits) <- fmt
@@ -271,29 +274,35 @@ object Multimodal {
       */
     override def resizeBytes(bytes: Array[Byte], targetRate: Int,
                              targetChannels: Int): Option[Array[Byte]] =
-      parse(bytes).filter(w => targetRate > 0 && targetChannels > 0 &&
-        w.frames > 0).map { w =>
-        val outFrames = math.max(1,
-          (w.frames.toLong * targetRate / w.sampleRate).toInt)
-        val data = new Array[Byte](outFrames * targetChannels * 2)
-        var i = 0
-        while (i < outFrames) {
-          val src = math.min(w.frames - 1,
-            (i.toLong * w.sampleRate / targetRate).toInt)
-          var c = 0
-          while (c < targetChannels) {
-            val v =
-              if (targetChannels == 1) w.mono(bytes, src)
-              else w.sample(bytes, src, c % w.channels)
-            val s = math.max(-32768, math.min(32767, math.round(v * 32768.0))).toInt
-            val o = (i * targetChannels + c) * 2
-            data(o) = (s & 0xff).toByte
-            data(o + 1) = ((s >> 8) & 0xff).toByte
-            c += 1
+      parse(bytes).flatMap { w =>
+        val outFramesL = math.max(1L, w.frames.toLong * targetRate / w.sampleRate)
+        val outBytesL = outFramesL * targetChannels * 2L
+        // refuse (None) rather than Int-truncate a huge upsample into a
+        // silently tiny or negative-sized output
+        if (targetRate <= 0 || targetChannels <= 0 || w.frames == 0 ||
+          outBytesL > Int.MaxValue - 64) None
+        else {
+          val outFrames = outFramesL.toInt
+          val data = new Array[Byte](outBytesL.toInt)
+          var i = 0
+          while (i < outFrames) {
+            val src = math.min(w.frames - 1,
+              (i.toLong * w.sampleRate / targetRate).toInt)
+            var c = 0
+            while (c < targetChannels) {
+              val v =
+                if (targetChannels == 1) w.mono(bytes, src)
+                else w.sample(bytes, src, c % w.channels)
+              val s = math.max(-32768, math.min(32767, math.round(v * 32768.0))).toInt
+              val o = (i * targetChannels + c) * 2
+              data(o) = (s & 0xff).toByte
+              data(o + 1) = ((s >> 8) & 0xff).toByte
+              c += 1
+            }
+            i += 1
           }
-          i += 1
+          Some(header(targetRate, targetChannels, data.length) ++ data)
         }
-        header(targetRate, targetChannels, data.length) ++ data
       }
 
     /** Canonical 44-byte PCM WAV header. */

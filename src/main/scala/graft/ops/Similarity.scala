@@ -197,8 +197,11 @@ object Similarity extends Serializable {
               seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persisted for the quantizer-training scans (count + sample +
+    // `iters` Lloyd passes all read it); released after training — the
+    // final lazy cell assignment re-reads storage once like any scan
     val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])].persist()
     // deterministic training sample: ~32 vectors per centroid by hash
     val sampleTarget = nlist * 32
     val total = vecs.count()
@@ -206,10 +209,12 @@ object Similarity extends Serializable {
     val sample = vecs
       .filter(r => (((Hashes_mix64(r._1 ^ seed) % keepMod) + keepMod) % keepMod) == 0L)
       .collect().sortBy(_._1).map(_._2)
-    if (sample.isEmpty)
+    if (sample.isEmpty) {
+      vecs.unpersist(false)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0).as("rank"),
           lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+    }
     // degrade gracefully on tiny corpora: fewer cells than asked is just
     // a coarser quantizer (nlist == 1 ≡ brute force)
     val cells0 = math.min(nlist, sample.length)
@@ -269,6 +274,7 @@ object Similarity extends Serializable {
       }
       it += 1
     }
+    vecs.unpersist(false)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = vecs.map { case (id, e) => (id, assign(e, bc.value)) }
       .toDF("neighbor_id", "cell")

@@ -165,7 +165,10 @@ object Stages {
     }
     reports += r3
     val (pred, r4) = run(spark, root, "eval_pred") {
-      byTurn(Crf.tag(toks, Crf.dictionaryModel(GazetteerTagger.gazetteer)).toDF())
+      // byTurn drops the confidence column — skip the forward-backward
+      // pass, identical spans (same choice as the in-session queries)
+      byTurn(Crf.tag(toks, Crf.dictionaryModel(GazetteerTagger.gazetteer),
+        withConfidence = false).toDF())
     }
     reports += r4
     val (_, r5) = run(spark, root, "mention_eval") {

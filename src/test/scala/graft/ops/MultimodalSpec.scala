@@ -137,6 +137,13 @@ class MultimodalSpec extends SparkSpec {
     // non-WAV payloads degrade to None/zeros, and the pipeline keeps the
     // failure rows with (-1, -1, -1)
     assert(Multimodal.WavCodec.decodeOpt("not a wav".getBytes).isEmpty)
+    // corrupt chunk size near 2^31 must yield None, not wrap the offset
+    // negative and throw (the seam contract)
+    val evil = Multimodal.WavCodec.header(8000, 1, 4).clone()
+    evil(16) = 0xf0.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte // fmt chunk size = 0x7ffffff0
+    assert(Multimodal.WavCodec.decodeOpt(evil).isEmpty)
+    assert(Multimodal.WavCodec.features(evil).forall(_ == 0f))
     val mixed = Seq((1L, "audio", wav), (2L, "audio", "junk junk junk".getBytes))
       .toDF("doc_id", "media_type", "payload")
     val out = Multimodal.decodeFeatures(mixed, codec = Multimodal.WavCodec)
