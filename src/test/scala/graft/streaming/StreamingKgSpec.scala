@@ -356,6 +356,28 @@ class StreamingKgSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
     assert(streamed.exists(p => p._1 == 1L && p._2 == 2L))
     assert(streamed.exists(p => p._1 == 1L && p._2 == 5L))
+    // restart on the same checkpoint with no new data: nothing re-emits
+    val rowsBefore = spark.read.option("basePath", out).parquet(out).count()
+    val q2 = StreamingKg.minhashDedupStream(spark, in, out, chk, store,
+      shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    q2.awaitTermination(60000)
+    assert(spark.read.option("basePath", out).parquet(out).count() == rowsBefore)
+    // a third batch arrives after the restart: only its incremental pairs
+    // appear, still equal to batch semantics over the grown corpus
+    val extra = (6L, words.updated(11, "NEW").mkString(" ")) // near-dup of 1
+    Seq(extra).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q3 = StreamingKg.minhashDedupStream(spark, in, out, chk, store,
+      shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    q3.awaitTermination(60000)
+    val streamed2 = spark.read.option("basePath", out).parquet(out)
+      .select("a", "b", "jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch2 = graft.ops.Dedup.minhashLsh(
+        (corpus :+ extra).toDF("doc_id", "text"),
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed2 == batch2)
+    assert(streamed2.exists(p => p._1 == 1L && p._2 == 6L))
   }
 
   test("turnRates: watermarked windowed counts per role") {
