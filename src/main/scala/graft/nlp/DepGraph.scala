@@ -52,12 +52,59 @@ object DepGraph {
     "mean", "feel", "choose", "speak", "break", "draw", "grow", "throw",
     "fly", "drive", "eat", "fall", "lose", "win", "sell", "sit", "check")
 
-  private val detLexicon = Set("the", "a", "an", "this", "that", "these", "those")
+  private val detLexicon = Set("the", "a", "an", "this", "these", "those")
+  // "that" lives here: in scientific/transcript prose it is overwhelmingly
+  // the complementizer ("showed that ..."), which the head rules bind to
+  // the embedded verb (label "mark")
   private val adpLexicon = Set("of", "to", "in", "on", "at", "for", "with",
-    "by", "from", "plus", "then", "and", "or")
+    "by", "from", "plus", "then", "and", "or", "nor", "but", "that",
+    "up", "down", "out", "into", "onto", "over", "under", "as", "than")
+
+  /** Frequent adverbs the -ly suffix rule cannot catch. */
+  private val advLexicon = Set("however", "also", "very", "only", "often",
+    "always", "never", "not", "again", "alone", "here", "there", "well",
+    "just", "still", "even", "already", "perhaps", "instead", "together",
+    "when", "where", "while", "too", "thus", "moreover", "furthermore",
+    "otherwise", "meanwhile", "soon", "once", "twice", "almost", "quite",
+    "rather", "now")
+
+  /** -ly words that are nouns, not adverbs. */
+  private val lyNouns = Set("family", "supply", "reply", "assembly",
+    "disassembly", "anomaly", "monopoly", "butterfly", "jelly", "belly",
+    "bully", "italy", "july", "fly", "ally", "rally", "tally", "lily")
+
+  /** Frequent adjectives the suffix rules cannot catch (incl. the -ent/-ant
+    * forms, whose suffix class is too noun-heavy for a blanket rule).
+    */
+  private val adjLexicon = Set("new", "novel", "active", "inactive", "major",
+    "minor", "high", "low", "large", "small", "good", "bad", "same",
+    "different", "important", "common", "early", "late", "full", "free",
+    "present", "recent", "similar", "consistent", "independent",
+    "dependent", "necessary", "unnecessary", "frequent", "sufficient",
+    "efficient", "significant", "relevant", "constant", "dominant",
+    "abundant", "resistant", "slow", "fast", "long", "short", "wide",
+    "narrow", "deep", "strong", "weak", "old", "young", "main", "key",
+    "whole", "entire", "several", "many", "few", "other", "such", "own",
+    "certain", "clear", "simple", "complex", "single", "double", "normal")
+
+  private val adjSuffixes = Seq("ic", "ive", "ous", "able", "ible", "less",
+    "ful", "al", "ar")
+
+  /** -al / -ar / -ic / -able words that are nouns, not adjectives. */
+  private val adjSuffixNouns = Set("table", "cable", "fable", "gable",
+    "stable", "vegetable", "syllable",
+    "signal", "animal", "metal", "hospital",
+    "interval", "arrival", "removal", "approval", "goal", "deal", "meal",
+    "trial", "journal", "proposal", "capital", "crystal", "mammal",
+    "terminal", "material", "total", "sugar", "dollar", "cellar", "collar",
+    "grammar", "seminar", "scholar", "calendar", "guitar", "radar",
+    "logic", "magic", "music", "topic", "clinic", "critic", "traffic",
+    "fabric", "republic", "mosaic")
 
   /** Coarse POS by suffix/lexicon — deterministic stand-in for the
-    * reference's spaCy `pos` feature.
+    * reference's spaCy `pos` feature. r5 splits ADJ and ADV out of the
+    * NOUN bin (VERDICT r4: amod/advmod/attr edges — ~15% of the parser
+    * gold — were structurally unreachable without them).
     */
   def coarsePos(word: String): String = {
     val w = word.toLowerCase
@@ -66,9 +113,37 @@ object DepGraph {
     else if (!w.head.isLetter) "PUNCT"
     else if (detLexicon.contains(w)) "DET"
     else if (adpLexicon.contains(w)) "ADP"
+    else if (advLexicon.contains(w)) "ADV"
     else if (verbLexicon.contains(w)) "VERB"
+    else if (adjLexicon.contains(w)) "ADJ"
+    else if (w.length > 4 && w.endsWith("ly") && !lyNouns.contains(w)) "ADV"
+    else if (w.length > 4 && adjSuffixes.exists(w.endsWith) &&
+      !adjSuffixNouns.contains(w)) "ADJ"
     else if (w.length > 3 && verbSuffixes.exists(w.endsWith)) "VERB"
     else "NOUN"
+  }
+
+  /** Prepositions that turn a directly following -ing form into a nominal
+    * gerund ("targeting of", "silencing in") — used by [[sentencePos]].
+    */
+  private val gerundBinders = Set("of", "in", "on", "at", "for", "with",
+    "by", "from")
+
+  /** Sentence-context POS: [[coarsePos]] per token plus the one adjustment
+    * that needs a right neighbor — an -ing verb directly followed by a
+    * noun-binding preposition is a nominal gerund ("targeting of Mdv1p",
+    * "gene silencing in Arabidopsis"), which keeps such deverbal nouns
+    * from being picked as the sentence root. Shared by [[heads]] and
+    * [[depLabels]] so both see the same tag sequence.
+    */
+  def sentencePos(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
+    val base = toks.map(t => coarsePos(t.word))
+    IndexedSeq.tabulate(toks.length) { i =>
+      if (base(i) == "VERB" && toks(i).word.toLowerCase.endsWith("ing") &&
+        i + 1 < toks.length && base(i + 1) == "ADP" &&
+        gerundBinders.contains(toks(i + 1).word.toLowerCase)) "NOUN"
+      else base(i)
+    }
   }
 
   /** Auxiliary / modal verb forms — attach to a verbal head as "aux"
@@ -80,40 +155,71 @@ object DepGraph {
     "will", "would", "can", "could", "shall", "should", "may", "might",
     "must", "ought")
 
+  private val ccLexicon = Set("and", "or", "nor", "but")
+  private val copulaLexicon = Set("is", "are", "was", "were", "be", "been", "am")
+
   /** Deterministic dependency LABEL of each token's edge to its head —
     * the hermetic stand-in for spaCy's labeled parse (nalaf reads
     * `token.features['dep']` in chain features `entityhead.py:264-281`,
     * PD edge n-grams `new/dependency.py:96-127` and neg-counting
     * `data.py:1104-1118`). Rules are POS-pair + relative-position only
     * (no external model): negation tokens are "neg" wherever they
-    * attach; punctuation "punct"; determiners "det"; adpositions "prep";
-    * numbers "nummod"; auxiliaries "aux" and other verbs "conj" under a
-    * verbal head; a noun before its verbal head is "nsubj", after it
-    * "dobj" (the subject/object heuristic of projective English order);
-    * noun-under-noun "compound", noun-under-adposition "pobj"; anything
-    * else "dep". The root's self-edge is labeled "root" (never emitted
-    * as an edge feature). A fixed small label vocabulary keeps hashed
-    * feature space stable across corpora.
+    * attach; punctuation "punct"; determiners "det" ("nsubj" when they
+    * head to a verb — demonstrative subjects); coordinators "cc", the
+    * complementizer "that" under a following verb "mark", "to <verb>"
+    * "aux", other adpositions "prep"; numbers "nummod"; auxiliaries
+    * "aux", pre-nominal participles "amod", verbs coordinated across a
+    * cc word "conj", other verbs under a verbal head "dep"; adjectives
+    * "amod" under a nominal and "acomp" under a verb; adverbs "advmod";
+    * a noun after a copular head is "attr", before its verbal head
+    * "nsubj", after it "dobj"; noun-under-noun "compound" (rightward)
+    * or "conj" (leftward, via coordination), noun-under-adposition
+    * "pobj"; anything else "dep". The root's self-edge is labeled
+    * "root" (never emitted as an edge feature). A fixed small label
+    * vocabulary keeps hashed feature space stable across corpora.
     */
   def depLabels(toks: IndexedSeq[Tok], heads: Array[Int]): Array[String] = {
-    val pos = toks.map(t => coarsePos(t.word))
+    val pos = sentencePos(toks)
+    val lower = toks.map(_.word.toLowerCase)
+    def ccBetween(a: Int, b: Int): Boolean = {
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      (lo + 1 until hi).exists(j => ccLexicon.contains(lower(j)))
+    }
     Array.tabulate(toks.length) { i =>
-      val w = toks(i).word.toLowerCase
+      val w = lower(i)
       if (heads(i) == i) "root"
       else if (negWords.contains(w)) "neg"
       else {
-        val hp = pos(heads(i))
+        val h = heads(i)
+        val hp = pos(h)
         pos(i) match {
           case "PUNCT" => "punct"
-          case "DET" => "det"
-          // an adposition binding a directly FOLLOWING verb is the
-          // infinitival/complementizer particle ("to <verb>") — aux
-          case "ADP" => if (heads(i) == i + 1 && hp == "VERB") "aux" else "prep"
+          case "DET" => if (hp == "VERB") "nsubj" else "det"
+          case "ADP" =>
+            if (ccLexicon.contains(w)) "cc"
+            else if (w == "that" && hp == "VERB" && h > i) "mark"
+            else if (w == "to" && h == i + 1 && hp == "VERB") "aux"
+            else "prep"
           case "NUM" => "nummod"
-          case "VERB" => if (auxLexicon.contains(w)) "aux" else "conj"
+          case "VERB" =>
+            if (auxLexicon.contains(w)) "aux"
+            else if (hp == "NOUN" || hp == "NUM") "amod"
+            else if (hp == "VERB" && ccBetween(h, i)) "conj"
+            else if (hp == "VERB") "dep"
+            else "dep"
+          case "ADJ" =>
+            if (hp == "NOUN" || hp == "NUM") "amod"
+            else if (hp == "VERB") "acomp"
+            else "dep"
+          case "ADV" => "advmod"
           case "NOUN" =>
-            if (hp == "VERB") { if (i < heads(i)) "nsubj" else "dobj" }
-            else if (hp == "NOUN") "compound"
+            if (hp == "VERB") {
+              if (copulaLexicon.contains(lower(h)) && i > h) "attr"
+              else if (i < h) "nsubj" else "dobj"
+            }
+            else if (hp == "NOUN" || hp == "NUM") {
+              if (i < h) "compound" else "conj"
+            }
             else if (hp == "ADP") "pobj"
             else "dep"
           case _ => "dep"
@@ -122,33 +228,60 @@ object DepGraph {
     }
   }
 
+  /** Irregular past participles (forms the -ed rule cannot catch) for the
+    * pre-nominal-participle test.
+    */
+  private val participleLexicon = Set("taken", "given", "known", "seen",
+    "shown", "done", "broken", "chosen", "drawn", "driven", "grown",
+    "hidden", "proven", "spoken", "written", "thrown", "frozen", "bound")
+
   /** head(i) for every token; root points to itself.
     *
-    * Projective rule grammar over the coarse POS sequence (r4 — replaces
-    * the r3 "nearest preceding verb" flat attachment, which measured
-    * 21.1% head agreement on the reference's own 18 parser-test
-    * sentences; see DepGraphAgreementSpec for the measured numbers):
+    * Projective rule grammar over the coarse POS sequence (r4, widened
+    * in r5 with ADJ/ADV attachment — the r3 "nearest preceding verb"
+    * flat attachment measured 21.1% head agreement and the r4 grammar
+    * 44.8% on the reference's own 18 parser-test sentences; see
+    * DepGraphAgreementSpec for the measured numbers):
     *
-    *  - root = first non-auxiliary verb (else first verb; else the head
-    *    of the first noun run — verbless titles root on their NP head);
+    *  - root = first plain verb (not a forward-binding auxiliary, not a
+    *    pre-nominal participle); else first verb; else the head of the
+    *    first noun run — verbless titles root on their NP head;
     *  - noun runs (maximal contiguous NOUN/NUM spans) are RIGHT-headed:
     *    every non-final token attaches to the run-final token (English
     *    compound/modifier order);
-    *  - a run-final noun is the object of a directly preceding
-    *    adposition (pobj, determiners skipped), else an argument of the
-    *    nearest preceding verb, else the subject of the next verb;
-    *  - determiners attach to the following noun run's head;
-    *  - adpositions bind a directly following verb ("to <verb>" — aux),
-    *    else the noun phrase they follow, else the nearest preceding
-    *    verb;
+    *  - a run-final noun looks left past its modifier cluster
+    *    (determiners, adjectives, adverbs, pre-nominal participles): a
+    *    preceding adposition makes it a pobj; a preceding coordinator
+    *    after another noun makes it a conj of that noun; else it is an
+    *    argument of the nearest preceding plain verb, else of the next
+    *    verb (aux chains followed), else the root;
+    *  - adjectives attach to the head of the noun run they precede
+    *    (amod, through intervening adjectives/participles); predicative
+    *    adjectives to the nearest plain verb (acomp);
+    *  - adverbs attach forward through the adverb cluster to a directly
+    *    following verb/adjective, else to the nearest plain verb;
+    *  - pre-nominal participles (-ed/-ing/irregular forms in attributive
+    *    position: preceded by DET/ADP/ADJ/ADV/hyphen, nominal to their
+    *    right) attach to the following noun-run head (amod);
+    *  - determiners attach to the following noun run's head through the
+    *    modifier cluster; a determiner directly before a verb is a
+    *    demonstrative subject ("this indicates");
+    *  - the complementizer "that" binds the next plain verb (mark);
+    *    "to" binds a directly following verb (aux); coordinators and
+    *    other adpositions bind the noun phrase they follow, else the
+    *    nearest preceding plain verb;
     *  - auxiliaries with a verb within the next two tokens attach to it
-    *    (auxpass chains); other verbs to the nearest preceding verb;
+    *    (auxpass chains); other verbs to the nearest preceding PLAIN
+    *    verb (skipping forward-binding auxiliaries and pre-nominal
+    *    participles — both attach forward, and attaching back to one
+    *    would close a cycle disconnected from the root; tree-ness is
+    *    what the path property tests pin);
     *  - hyphens bind the following token, other punctuation the root.
     */
   def heads(toks: IndexedSeq[Tok]): Array[Int] = {
     val n = toks.length
     if (n == 0) return Array.empty
-    val pos = toks.map(t => coarsePos(t.word))
+    val pos = sentencePos(toks)
     val lower = toks.map(_.word.toLowerCase)
     def nominal(p: String) = p == "NOUN" || p == "NUM"
     def isAux(i: Int) = auxLexicon.contains(lower(i))
@@ -165,64 +298,119 @@ object DepGraph {
       if (nominal(pos(i)) && nominal(pos(i - 1))) runStart(i) = runStart(i - 1)
       i += 1
     }
-    val root = pos.indices.find(j => pos(j) == "VERB" && !isAux(j))
+    def nextVerbRaw(j0: Int): Int = {
+      var j = j0 + 1
+      while (j < n && pos(j) != "VERB") j += 1
+      if (j < n) j else -1
+    }
+    // forward-binding auxiliary: chains INTO a verb within the next two
+    // tokens ("was found", "are taken", "may have been taken")
+    def fwdAux(j: Int): Boolean = pos(j) == "VERB" && isAux(j) && {
+      val nv = nextVerbRaw(j); nv >= 0 && nv - j <= 2
+    }
+    def participleForm(j: Int): Boolean =
+      lower(j).endsWith("ed") || lower(j).endsWith("ing") ||
+        participleLexicon.contains(lower(j))
+    // prenom(j): pre-nominal participle; nomThrough(j): the noun-run head
+    // reachable at/after j crossing only adjectives/participles. Mutually
+    // dependent, resolved in one right-to-left pass.
+    val prenom = new Array[Boolean](n)
+    val nomThrough = Array.fill(n + 1)(-1)
+    i = n - 1
+    while (i >= 0) {
+      prenom(i) = pos(i) == "VERB" && !isAux(i) && participleForm(i) &&
+        i > 0 && (pos(i - 1) == "DET" || pos(i - 1) == "ADP" ||
+          pos(i - 1) == "ADJ" || pos(i - 1) == "ADV" || lower(i - 1) == "-") &&
+        nomThrough(i + 1) >= 0
+      nomThrough(i) =
+        if (nominal(pos(i))) runEnd(i)
+        else if (pos(i) == "ADJ" || prenom(i)) nomThrough(i + 1)
+        else -1
+      i -= 1
+    }
+    def plainVerb(j: Int) = pos(j) == "VERB" && !fwdAux(j) && !prenom(j)
+    def prevPlainVerb(j0: Int): Int = {
+      var j = j0 - 1
+      while (j >= 0 && !plainVerb(j)) j -= 1
+      j
+    }
+    // first verb to the right (participles excluded); forward-binding
+    // auxiliaries are chased into their target verb
+    def nextVerbChain(j0: Int): Int = {
+      var j = j0 + 1
+      while (j < n && !(pos(j) == "VERB" && !prenom(j))) j += 1
+      if (j >= n) -1
+      else {
+        var t = j
+        while (t >= 0 && fwdAux(t)) t = nextVerbRaw(t)
+        if (t >= 0) t else j
+      }
+    }
+    val root = pos.indices.find(plainVerb)
       .orElse(pos.indices.find(j => pos(j) == "VERB"))
       .getOrElse {
         val firstNoun = pos.indexWhere(nominal)
         if (firstNoun >= 0) runEnd(firstNoun) else 0
       }
-    def prevVerb(j0: Int): Int = {
-      var j = j0 - 1
-      while (j >= 0 && pos(j) != "VERB") j -= 1
-      j
-    }
-    def nextVerb(j0: Int): Int = {
-      var j = j0 + 1
-      while (j < n && pos(j) != "VERB") j += 1
-      if (j < n) j else -1
-    }
     Array.tabulate(n) { k =>
       if (k == root) root
       else pos(k) match {
         case "PUNCT" =>
           if (lower(k) == "-" && k + 1 < n) k + 1 else root
         case "VERB" =>
-          val nv = nextVerb(k)
-          if (isAux(k) && nv >= 0 && nv - k <= 2) nv
+          if (prenom(k)) nomThrough(k + 1)
+          else if (fwdAux(k)) nextVerbRaw(k)
           else {
-            // nearest preceding verb that is NOT itself a forward-binding
-            // auxiliary: those chain INTO this verb ("may have been
-            // taken"), and attaching back to one would close a verb cycle
-            // disconnected from the root (tree-ness is what the path
-            // property tests pin)
-            var j = k - 1
-            var found = -1
-            while (j >= 0 && found < 0) {
-              if (pos(j) == "VERB") {
-                val jn = nextVerb(j)
-                if (!(isAux(j) && jn >= 0 && jn - j <= 2)) found = j
-              }
-              j -= 1
-            }
-            if (found >= 0) found else root
+            val p = prevPlainVerb(k)
+            if (p >= 0) p else root
           }
         case "DET" =>
-          if (k + 1 < n && nominal(pos(k + 1))) runEnd(k + 1)
-          else { val p = prevVerb(k); if (p >= 0) p else root }
+          var j = k + 1
+          while (j < n && (pos(j) == "ADJ" || pos(j) == "ADV" || prenom(j))) j += 1
+          if (j < n && nominal(pos(j))) runEnd(j)
+          else if (k + 1 < n && pos(k + 1) == "VERB") k + 1
+          else { val p = prevPlainVerb(k); if (p >= 0) p else root }
         case "ADP" =>
-          if (k + 1 < n && pos(k + 1) == "VERB") k + 1
+          if (lower(k) == "that") {
+            val v = nextVerbChain(k)
+            if (v >= 0) v
+            else if (k > 0 && nominal(pos(k - 1))) k - 1
+            else { val p = prevPlainVerb(k); if (p >= 0) p else root }
+          }
+          else if (lower(k) == "to" && k + 1 < n && pos(k + 1) == "VERB") k + 1
           else if (k > 0 && nominal(pos(k - 1))) k - 1
-          else { val p = prevVerb(k); if (p >= 0) p else root }
+          else { val p = prevPlainVerb(k); if (p >= 0) p else root }
+        case "ADJ" =>
+          val t = nomThrough(k + 1)
+          if (t >= 0) t
+          else {
+            val p = prevPlainVerb(k)
+            if (p >= 0) p
+            else { val v = nextVerbChain(k); if (v >= 0) v else root }
+          }
+        case "ADV" =>
+          var j = k + 1
+          while (j < n && pos(j) == "ADV") j += 1
+          if (j < n && (pos(j) == "VERB" || pos(j) == "ADJ")) j
+          else {
+            val p = prevPlainVerb(k)
+            if (p >= 0) p
+            else { val v = nextVerbChain(k); if (v >= 0) v else root }
+          }
         case _ => // NOUN / NUM
           if (runEnd(k) != k) runEnd(k)
           else {
             var j = runStart(k) - 1
-            while (j >= 0 && pos(j) == "DET") j -= 1
-            if (j >= 0 && pos(j) == "ADP") j
+            while (j >= 0 && (pos(j) == "DET" || pos(j) == "ADJ" ||
+              pos(j) == "ADV" || prenom(j))) j -= 1
+            if (j >= 0 && pos(j) == "ADP") {
+              if (ccLexicon.contains(lower(j)) && j > 0 && nominal(pos(j - 1))) j - 1
+              else j
+            }
             else {
-              val p = prevVerb(k)
+              val p = prevPlainVerb(k)
               if (p >= 0) p
-              else { val nv = nextVerb(k); if (nv >= 0) nv else root }
+              else { val v = nextVerbChain(k); if (v >= 0) v else root }
             }
           }
       }

@@ -279,8 +279,11 @@ object Multimodal {
         val outBytesL = outFramesL * targetChannels * 2L
         // refuse (None) rather than Int-truncate a huge upsample into a
         // silently tiny or negative-sized output
-        if (targetRate <= 0 || targetChannels <= 0 || w.frames == 0 ||
-          outBytesL > Int.MaxValue - 64) None
+        // targetChannels caps at 64 (the parse-side bound): beyond that the
+        // 16-bit channels header field would overflow long before the byte
+        // budget does, producing a header that disagrees with the data
+        if (targetRate <= 0 || targetChannels <= 0 || targetChannels > 64 ||
+          w.frames == 0 || outBytesL > Int.MaxValue - 64) None
         else {
           val outFrames = outFramesL.toInt
           val data = new Array[Byte](outBytesL.toInt)
