@@ -210,6 +210,22 @@ object SparkEntry {
           withConfidence = false)
         .toDF().drop("confidence")
     }),
+    "kg_crf_table" -> ((s, dir) => {
+      // the PAST-BROADCAST-SIZE CRF route: identical dictionary model, but
+      // emission weights consumed as a TABLE via the feature-key join
+      // (Crf.tagWithTable, the ModelIO.saveCrf layout) — shares the
+      // kg_crf_mentions oracle, so the distributed scoring path is
+      // DuckDB-checked end-to-end, not just spec-level bit-equality.
+      // The __bias__ row is present in the table and must be folded into
+      // the broadcast, never the join (r5).
+      import s.implicits._
+      val model = Crf.dictionaryModel(GazetteerTagger.gazetteer)
+      val emissions = model.emissions.toSeq.map { case (f, w) => (f, w.toSeq) }
+        .toDF("feature", "weights")
+      Crf.tagWithTable(tokenizedOf(s, dir), emissions, model,
+          withConfidence = false, eager = true)
+        .toDF().drop("confidence")
+    }),
     "kg_scored" -> ((s, dir) => {
       // SVM-style route: fused pipeline with broadcast linear scoring
       // (all-positive model — full feature computation under the oracle)
@@ -437,7 +453,8 @@ object SparkEntry {
        |  FROM mentions GROUP BY 1, 2, 3, 4
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "kg_transcripts" -> T,
 
     "kg_sentences" ->
@@ -1074,5 +1091,9 @@ object SparkEntry {
         |  CAST(64 + (length(text) * 31) % 433 AS INT) AS height,
         |  CAST(1 + length(text) % 7 AS INT) AS n_frames
         |FROM documents""".stripMargin
-  )
+    )
+    // the table-join CRF route must produce EXACTLY what the broadcast
+    // route produces — same oracle SQL, two independent Spark plans
+    base + ("kg_crf_table" -> base("kg_crf_mentions"))
+  }
 }

@@ -429,6 +429,27 @@ object Crf {
   /** One (token, label) cell of a distributed emission matrix. */
   final case class EmCell(tok_idx: Int, lbl: Int, w: Double)
 
+  /** Per-token feature rows for [[tagWithTable]]'s emissions join.
+    * Deliberately does NOT emit `__bias__`: the bias fires on every token,
+    * so as a join key it would be a guaranteed maximal hot key (every
+    * token row of the corpus in one key group of the feature-scoring
+    * shuffle). The bias weight vector is model-metadata-sized and rides
+    * the broadcast instead, seeding the emission matrix at decode
+    * (ModelIOSpec asserts no `__bias__` row ever enters the join).
+    */
+  private[ops] def featureRows(
+      ts: Dataset[TokenizedSentence]): org.apache.spark.sql.DataFrame = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    ts.flatMap { s =>
+      val toks = s.tokens.toIndexedSeq
+      if (toks.isEmpty) Iterator.empty
+      else tokenFeatures(toks).iterator.zipWithIndex.flatMap { case (fs, i) =>
+        fs.iterator.map(f => (s.conv_id, s.turn_idx, s.sent_idx, i, f))
+      }
+    }.toDF("conv_id", "turn_idx", "sent_idx", "tok_idx", "feature")
+  }
+
   /** Distributed scoring for models PAST BROADCAST SIZE: emission weights
     * come from the `emissions` TABLE (feature STRING, weights
     * ARRAY<DOUBLE> in label order — the layout [[ModelIO.saveCrf]]
@@ -448,33 +469,46 @@ object Crf {
     * Exactly equivalent to broadcast [[tag]] up to floating-point
     * summation order (bit-identical when weights are exactly-representable
     * integers, e.g. the dictionary model — pinned in ModelIOSpec); a
-    * sentence with NO feature hit in the table decodes under zero
+    * sentence with NO feature hit in the table decodes under bias-only
     * emissions, like the broadcast path.
+    *
+    * The `__bias__` row of the emissions table never enters the join: it
+    * fires on every token, so as a join key it would be a guaranteed
+    * maximal hot key in the feature-scoring shuffle. Its weight vector is
+    * read ONCE (one model-metadata-sized row) and rides the broadcast,
+    * seeding the emission matrix at decode.
+    *
+    * Lifecycle (`eager`): by default the result is LAZY — `ts` is
+    * persisted (it feeds both the feature explosion and the sentence
+    * join-back; the self-join-recompute trap CLAUDE.md pins) and the
+    * CALLER owns materialization: run your action (or route the output
+    * through a durable [[Stages]] write for long jobs), then
+    * `ts.unpersist()`. At the corpus sizes this API targets, eagerly
+    * pinning every mention in executor-local storage at call time would
+    * be a memory cliff and an executor-loss fragility. `eager = true`
+    * restores the small-corpus convenience: materialize via an eager
+    * localCheckpoint and release the `ts` cache before returning.
     */
   def tagWithTable(ts: Dataset[TokenizedSentence],
                    emissions: org.apache.spark.sql.DataFrame,
-                   meta: Model): Dataset[Mention] = {
+                   meta: Model,
+                   withConfidence: Boolean = true,
+                   eager: Boolean = false): Dataset[Mention] = {
     val spark = ts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    val L = meta.labels.length
+    // one tiny driver-side read (1 row x L doubles — model metadata, the
+    // same class of lookup as ModelIO.loadCrf's meta row)
+    val bias = emissions.filter(col("feature") === "__bias__")
+      .select(col("weights")).as[Seq[Double]]
+      .take(1).headOption.map(_.toArray).getOrElse(new Array[Double](L))
     val skeleton = meta.copy(emissions = Map.empty)
-    val bc = spark.sparkContext.broadcast(skeleton)
-    val L = skeleton.labels.length
-    // ts feeds BOTH the feature explosion and the sentence join-back —
-    // persist so a derived tokenize pipeline isn't computed twice (the
-    // self-join-recompute trap CLAUDE.md pins), materialize the result,
-    // release the cache before returning (the minhashLsh lifecycle)
+    val bc = spark.sparkContext.broadcast((skeleton, bias))
     val tsP = ts.persist()
-    val featRows = tsP.flatMap { s =>
-      val toks = s.tokens.toIndexedSeq
-      if (toks.isEmpty) Iterator.empty
-      else tokenFeatures(toks).iterator.zipWithIndex.flatMap { case (fs, i) =>
-        ("__bias__" :: fs).iterator.map(f =>
-          (s.conv_id, s.turn_idx, s.sent_idx, i, f))
-      }
-    }.toDF("conv_id", "turn_idx", "sent_idx", "tok_idx", "feature")
-    val cells = featRows
-      .join(emissions.select(col("feature"), col("weights")), Seq("feature"))
+    val cells = featureRows(tsP)
+      .join(emissions.filter(col("feature") =!= "__bias__")
+        .select(col("feature"), col("weights")), Seq("feature"))
       .select(col("conv_id"), col("turn_idx"), col("sent_idx"), col("tok_idx"),
         posexplode(col("weights")).as(Seq("lbl", "w")))
       .groupBy("conv_id", "turn_idx", "sent_idx", "tok_idx", "lbl")
@@ -489,20 +523,28 @@ object Crf {
           tsP("sent_idx") === cells("sent_idx"),
         "left_outer")
       .mapPartitions { it =>
-        val m = bc.value
+        val (m, b) = bc.value
         it.flatMap { case (s, scoredOrNull) =>
           val toks = s.tokens
           if (toks.isEmpty) Iterator.empty
           else {
             val em = Array.ofDim[Double](toks.length, L)
+            var i = 0
+            while (i < toks.length) {
+              var l = 0
+              while (l < L) { em(i)(l) = b(l); l += 1 }
+              i += 1
+            }
             if (scoredOrNull != null)
-              scoredOrNull._4.foreach(c => em(c.tok_idx)(c.lbl) = c.w)
-            decodeWithEm(m, s, em)
+              scoredOrNull._4.foreach(c => em(c.tok_idx)(c.lbl) += c.w)
+            decodeWithEm(m, s, em, withConfidence)
           }
         }
       }
-      .localCheckpoint(true)
-    tsP.unpersist(false)
-    out
+    if (eager) {
+      val mat = out.localCheckpoint(true)
+      tsP.unpersist(false)
+      mat
+    } else out
   }
 }

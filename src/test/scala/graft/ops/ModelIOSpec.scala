@@ -49,7 +49,15 @@ class ModelIOSpec extends SparkSpec {
       Transcripts.fromDocuments(spark, "/root/testdata/sf0.001")))
     val broadcastPath = Crf.tag(ts, model).collect().toSet
     val tablePath = Crf.tagWithTable(ts, emissions, model).collect().toSet
+    ts.unpersist() // default-lazy tagWithTable leaves the caller the cache
     assert(tablePath == broadcastPath && tablePath.nonEmpty)
+    // the table carries a __bias__ row, but it must NEVER enter the
+    // feature join — it fires on every token, a guaranteed maximal hot
+    // key; r5 folds it into the broadcast instead. featureRows is the
+    // exact left side of tagWithTable's join.
+    import org.apache.spark.sql.functions.col
+    assert(emissions.filter(col("feature") === "__bias__").count() == 1)
+    assert(Crf.featureRows(ts).filter(col("feature") === "__bias__").count() == 0)
   }
 
   test("trained CRF (non-dictionary weights) survives the round-trip") {
