@@ -60,8 +60,11 @@ object StreamingKg {
     *    accumulated turns and emits ONLY new keys (append-mode-safe,
     *    exactly-once per key under the streaming checkpoint),
     *  - idle conversations are evicted by processing-time timeout, so
-    *    state is bounded by ACTIVE conversations × bounded turns (at
-    *    scale back the state store with RocksDB).
+    *    state is bounded by ACTIVE conversations × bounded turns (back the
+    *    state store with RocksDB at scale — a TESTED mode: one conf
+    *    line, `spark.sql.streaming.stateStore.providerClass =
+    *    ...state.RocksDBStateStoreProvider`, ships with Spark; output
+    *    parity + provider-in-effect pinned in StreamingKgSpec).
     */
   def triplesStateful(turns: Dataset[Turn], cfg: KgPipeline.Config,
                       gaz: Map[String, String],
@@ -199,8 +202,8 @@ object StreamingKg {
     * it further in TIME: a hash bucket idle longer than the duration is
     * evicted (processing-time timeout, the same discipline as
     * [[triplesStateful]]), so state tracks the RECENTLY-SEEN corpus —
-    * at scale back the store with RocksDB and set maxIdle to the dedup
-    * horizon. Eviction semantics: a text re-ingested AFTER its bucket
+    * at scale back the store with RocksDB (tested mode — see
+    * [[triplesStateful]]) and set maxIdle to the dedup horizon. Eviction semantics: a text re-ingested AFTER its bucket
     * was evicted starts a fresh group (it becomes its own representative
     * again — pinned in StreamingKgSpec); None keeps the original
     * append-only NoTimeout behavior.
@@ -273,7 +276,8 @@ object StreamingKg {
     * result is an explicit candidate SUBSET on hot buckets, the same
     * recall trade Dedup.ngramJaccard makes with its document-frequency
     * filter (bounded-emission behavior pinned in StreamingKgSpec). At
-    * scale back the store with RocksDB.
+    * scale back the store with RocksDB (tested mode — see
+    * [[triplesStateful]]).
     *
     * NOTE `maxHamming` > 3: the 4×16-bit block fanout GUARANTEES a
     * shared block only for hamming ≤ 3 (pigeonhole over 4 blocks);
@@ -351,7 +355,8 @@ object StreamingKg {
     * stored ids per bucket so a hot boilerplate bucket emits O(cap)
     * candidates per arrival instead of O(bucket) — an explicit candidate
     * subset on hot buckets; exact-Jaccard verification downstream keeps
-    * precision regardless. At scale back the store with RocksDB.
+    * precision regardless. At scale back the store with RocksDB (tested
+    * mode — see [[triplesStateful]]).
     */
   def minhashCandidatesStream(docs: Dataset[(Long, String)],
                               shingleN: Int = 3, numPerm: Int = 64,

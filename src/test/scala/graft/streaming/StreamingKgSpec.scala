@@ -278,6 +278,47 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact dedup under RocksDBStateStoreProvider: parity with default store") {
+    // the "at scale back the store with RocksDB" promise as a TESTED mode:
+    // the provider ships with Spark (zero egress), is enabled by one conf
+    // line, and must not change any emitted row. The rocksdb* custom
+    // metrics in the query progress prove the provider actually ran (a
+    // typo'd class name would throw at start; metrics guard silent
+    // fallback regressions).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = StreamingKg.exactDedupStream(source.toDS())
+        .toDF("doc_id", "rep_id", "is_dup")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").start()
+      try {
+        // same arrivals as the default-store scenario above
+        source.addData((10L, "alpha beta"), (11L, "gamma"), (12L, "alpha beta"))
+        q.processAllAvailable()
+        source.addData((20L, "alpha beta"), (21L, "delta"), (5L, "alpha beta"))
+        q.processAllAvailable()
+        val rocks = spark.table("rocks_dedup")
+          .as[(Long, Long, Boolean)].collect().toSet
+        assert(rocks == Set((10L, 10L, false), (11L, 11L, false),
+          (12L, 10L, true), (20L, 10L, true), (21L, 21L, false),
+          (5L, 10L, true)))
+        val custom = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet().toArray.map(_.toString))
+        assert(custom.exists(_.startsWith("rocksdb")),
+          s"RocksDB provider not in effect; metrics: ${custom.mkString(",")}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("minhash candidates: hot-bucket cap bounds emissions on a boilerplate corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
