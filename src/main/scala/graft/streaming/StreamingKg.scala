@@ -430,17 +430,24 @@ object StreamingKg {
     * pairs across batch_id directories (never lose any) — read the
     * output `.distinct()`, exactly like the candidate streams' sinks.
     *
-    * Scale note: step 2 re-reads the band store each batch, trading the
-    * stateful variant's ([[minhashCandidatesStream]]) state-store memory
-    * for storage scans — at scale bucket both stores by their join key
-    * (bucket / doc_id) so the per-batch joins are co-located, or use the
-    * stateful candidates + this operator's verification join only.
+    * Scale shape (r5 — the r4 form re-read the FULL band store each
+    * batch, O(accumulated corpus) IO per micro-batch): both stores are
+    * PARTITIONED by a hash-derived `part` key (`part =
+    * pmod(xxhash64(join key), numParts)` — bucket for bands, doc_id for
+    * shingles), and each batch reads ONLY the part directories its own
+    * join keys hash into ([[readStoreParts]] — deterministic path-level
+    * pruning, not optimizer-dependent). A trickle batch touches a few
+    * directories of a corpus-sized store; the needed-part sets are
+    * collected driver-side but are ≤ numParts ints by construction.
+    * Pruning evidence (files read, pruned ≡ full-scan-filtered) is
+    * pinned in StreamingKgSpec.
     */
   def minhashDedupStream(spark: SparkSession, inputDir: String,
                          outputDir: String, checkpointDir: String,
                          storeDir: String,
                          shingleN: Int = 3, numPerm: Int = 64,
                          bands: Int = 16, threshold: Double = 0.5,
+                         numParts: Int = 64,
                          availableNow: Boolean = true): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -460,45 +467,105 @@ object StreamingKg {
           }.toDF("doc_id", "shingles")
           .persist()
         if (shingled.limit(1).count() > 0) {
-          shingled.write.mode("overwrite")
+          shingled.withColumn("part", storePart(col("doc_id"), numParts))
+            .write.mode("overwrite").partitionBy("part")
             .parquet(s"$storeDir/shingles/batch_id=$batchId")
           val batchBands = graft.ops.Dedup
             .bandedBuckets(shingled, numPerm, bands)
-          batchBands.write.mode("overwrite")
+            .persist()
+          batchBands.withColumn("part", storePart(col("bucket"), numParts))
+            .write.mode("overwrite").partitionBy("part")
             .parquet(s"$storeDir/bands/batch_id=$batchId")
-          val allBands = spark.read
-            .option("basePath", s"$storeDir/bands")
-            .parquet(s"$storeDir/bands")
+          // the parts THIS batch's buckets hash into — ≤ numParts ints
+          val bandParts = batchBands
+            .select(storePart(col("bucket"), numParts).as("part"))
+            .distinct().as[Long].collect().toSet
+          val allBands = readStoreParts(spark, s"$storeDir/bands", bandParts)
             .select("doc_id", "bucket")
-          val allShingles = spark.read
-            .option("basePath", s"$storeDir/shingles")
-            .parquet(s"$storeDir/shingles")
-            .select("doc_id", "shingles")
           val cand = batchBands
             .join(allBands.select(col("doc_id").as("b"), col("bucket")),
               Seq("bucket"))
             .select(least(col("doc_id"), col("b")).as("a"),
               greatest(col("doc_id"), col("b")).as("b"))
             .filter(col("a") < col("b")).distinct()
-          cand
-            .join(allShingles.select(col("doc_id").as("a"),
-              col("shingles").as("sha")), Seq("a"))
-            .join(allShingles.select(col("doc_id").as("b"),
-              col("shingles").as("shb")), Seq("b"))
-            .select(col("a"), col("b"), col("sha"), col("shb"))
-            .as[(Long, Long, Array[Long], Array[Long])]
-            .map { case (x, y, sa, sb) =>
-              val inter = sa.toSet.intersect(sb.toSet).size
-              (x, y, inter.toDouble / (sa.length + sb.length - inter))
-            }.toDF("a", "b", "jaccard")
-            .filter(col("jaccard") >= threshold)
-            .write.mode("overwrite")
+            .persist()
+          // shingle parts for the candidates' two id sides only
+          val candParts = cand
+            .select(explode(array(col("a"), col("b"))).as("doc_id"))
+            .select(storePart(col("doc_id"), numParts).as("part"))
+            .distinct().as[Long].collect().toSet
+          val verified =
+            if (candParts.isEmpty)
+              // candidate-free batch: still write the (empty) output dir
+              // so replays stay idempotent, exactly like the r4 form
+              Seq.empty[(Long, Long, Double)].toDF("a", "b", "jaccard")
+            else {
+              val allShingles =
+                readStoreParts(spark, s"$storeDir/shingles", candParts)
+                  .select("doc_id", "shingles")
+              cand
+                .join(allShingles.select(col("doc_id").as("a"),
+                  col("shingles").as("sha")), Seq("a"))
+                .join(allShingles.select(col("doc_id").as("b"),
+                  col("shingles").as("shb")), Seq("b"))
+                .select(col("a"), col("b"), col("sha"), col("shb"))
+                .as[(Long, Long, Array[Long], Array[Long])]
+                .map { case (x, y, sa, sb) =>
+                  val inter = sa.toSet.intersect(sb.toSet).size
+                  (x, y, inter.toDouble / (sa.length + sb.length - inter))
+                }.toDF("a", "b", "jaccard")
+                .filter(col("jaccard") >= threshold)
+            }
+          verified.write.mode("overwrite")
             .parquet(s"$outputDir/batch_id=$batchId")
+          cand.unpersist(false)
+          batchBands.unpersist(false)
         }
         shingled.unpersist(false)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** `part` assignment shared by [[minhashDedupStream]]'s store writers
+    * and pruned readers — both sides MUST use the same arithmetic or
+    * pruning silently loses rows.
+    */
+  private[streaming] def storePart(key: org.apache.spark.sql.Column,
+                                   numParts: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(key),
+      org.apache.spark.sql.functions.lit(numParts.toLong))
+
+  /** Read ONLY the `part=<p>` directories of a batch-versioned store
+    * (`root/batch_id=N/part=p`) whose part value is in `parts` —
+    * deterministic path-level pruning: the file listing never touches a
+    * directory outside the requested part set, so per-batch IO is
+    * proportional to the batch's OWN key footprint, not the accumulated
+    * store ([[minhashDedupStream]] scale shape). One listing RPC per
+    * batch directory; empty selection → empty frame.
+    */
+  private[streaming] def readStoreParts(spark: SparkSession, root: String,
+                                        parts: Set[Long]): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs: Seq[String] =
+      if (parts.isEmpty || !fs.exists(rootPath)) Nil
+      else fs.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { b =>
+        fs.listStatus(b.getPath).toSeq.map(_.getPath).filter { p =>
+          val n = p.getName
+          n.startsWith("part=") &&
+            scala.util.Try(n.stripPrefix("part=").toLong).toOption
+              .exists(parts.contains)
+        }.map(_.toString)
+      }
+    // callers only request parts derived from keys they just wrote (or
+    // that earlier batches wrote), so an empty listing means a corrupted
+    // or foreign store — fail loudly rather than silently drop pairs
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"no part directories under $root for parts=$parts")
+    spark.read.option("basePath", root).parquet(dirs: _*)
   }
 
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark

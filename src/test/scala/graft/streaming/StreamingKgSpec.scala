@@ -421,6 +421,56 @@ class StreamingKgSpec extends SparkSpec {
     assert(streamed2.exists(p => p._1 == 1L && p._2 == 6L))
   }
 
+  test("minhashDedupStream: part-partitioned stores, a batch reads only its own parts") {
+    // the r5 scale shape: stores are partitioned by pmod(xxhash64(key),
+    // numParts) and each micro-batch's joins read ONLY the part dirs its
+    // own keys hash into (readStoreParts — path-level pruning, which is
+    // exactly what the operator calls). Evidence: for a 1-doc batch the
+    // pruned band read touches strictly fewer files than the full store,
+    // and pruned rows ≡ full-scan rows restricted to those parts.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("mpp_in").toString
+    val out = Files.createTempDirectory("mpp_out").toString
+    val chk = Files.createTempDirectory("mpp_chk").toString
+    val store = Files.createTempDirectory("mpp_store").toString
+    val base = (1L to 30L).map(i =>
+      (i, (0 until 40).map(j => s"w${i}_$j").mkString(" ")))
+    val lone = (99L, (0 until 40).map(j => s"w1_$j").mkString(" ")) // near-dup of 1
+    base.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // batch 2 is ONE doc — its 16 band buckets hash into a strict subset
+    // of the 64 parts, so its store read must skip most directories
+    Seq(lone).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q = StreamingKg.minhashDedupStream(spark, in, out, chk, store,
+      shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    q.awaitTermination(120000)
+    // the dup pair surfaced through the pruned joins
+    val pairs = spark.read.option("basePath", out).parquet(out)
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 99L)), s"pairs=$pairs")
+    // reconstruct the 1-doc batch's band parts with the operator's own
+    // arithmetic and measure the file footprint of its store read
+    val loneBands = graft.ops.Dedup.bandedBuckets(
+      Seq((lone._1, graft.ops.Dedup.docShingles(lone._2, 3)))
+        .toDF("doc_id", "shingles"), 64, 16)
+    val parts = loneBands
+      .select(StreamingKg.storePart(col("bucket"), 64).as("p"))
+      .distinct().as[Long].collect().toSet
+    assert(parts.size < 64, s"1 doc must not cover all parts: ${parts.size}")
+    val pruned = StreamingKg.readStoreParts(spark, s"$store/bands", parts)
+    val full = spark.read.option("basePath", s"$store/bands")
+      .parquet(s"$store/bands")
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+    // pruning must lose NOTHING in the requested parts
+    val prunedRows = pruned.select("doc_id", "bucket")
+      .as[(Long, Long)].collect().toSet
+    val fullRows = full
+      .filter(StreamingKg.storePart(col("bucket"), 64).isin(parts.toSeq: _*))
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(prunedRows == fullRows && prunedRows.nonEmpty)
+  }
+
   test("turnRates: watermarked windowed counts per role") {
     import spark.implicits._
     val turns = (0 until 12).map { i =>
