@@ -224,26 +224,79 @@ object StreamingKg {
           state.remove()
           Iterator.empty
         } else {
-          val out = Vector.newBuilder[(Long, Long, Boolean)]
-          var cur = state.getOption
-          // deterministic within-batch order: ascending doc_id
-          rows.toSeq.sortBy(_._1).foreach { case (id, text) =>
-            cur match {
-              case Some(s) if s.text == text =>
-                out += ((id, s.repId, true))
-              case Some(s) =>
-                // hash collision, different text: keep as its own doc
-                out += ((id, id, false))
-              case None =>
-                cur = Some(DedupState(id, text))
-                out += ((id, id, false))
-            }
-          }
-          cur.foreach(state.update)
+          val out = exactDedupGroup(rows.toSeq, state)
           maxIdle.foreach(state.setTimeoutDuration)
-          out.result().iterator
+          out
         }
     }
+  }
+
+  /** Shared per-group body of [[exactDedupStream]] and its event-time
+    * variant — dedup semantics only; timeout bookkeeping is the caller's
+    * (the two disciplines differ).
+    */
+  private def exactDedupGroup(rowSeq: Seq[(Long, String)],
+                              state: GroupState[DedupState])
+  : Iterator[(Long, Long, Boolean)] = {
+    val out = Vector.newBuilder[(Long, Long, Boolean)]
+    var cur = state.getOption
+    // deterministic within-batch order: ascending doc_id
+    rowSeq.sortBy(_._1).foreach { case (id, text) =>
+      cur match {
+        case Some(s) if s.text == text =>
+          out += ((id, s.repId, true))
+        case Some(s) =>
+          // hash collision, different text: keep as its own doc
+          out += ((id, id, false))
+        case None =>
+          cur = Some(DedupState(id, text))
+          out += ((id, id, false))
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Event-time variant of [[exactDedupStream]] for REPLAYED or
+    * historical corpora: the dedup horizon is measured in EVENT time —
+    * a hash bucket is evicted once the WATERMARK passes its last
+    * document's event time plus `idleGapMs`, i.e. only when the stream
+    * PROVES no document within the horizon can still arrive. A
+    * processing-time `maxIdle` would race real late arrivals on replay
+    * (wall-clock idle says nothing about event-time adjacency when a
+    * year of history replays in minutes) — same reasoning as
+    * [[triplesStatefulEventTime]], whose timeout re-arming discipline
+    * (max(last event + gap, watermark + 1 ms)) this shares. Eviction
+    * semantics match the PT variant: a text re-ingested after its
+    * bucket's eviction starts a fresh group (pinned in StreamingKgSpec).
+    */
+  def exactDedupStreamEventTime(docs: Dataset[(Long, String, java.sql.Timestamp)],
+                                watermarkDelay: String = "10 minutes",
+                                idleGapMs: Long = 30L * 60 * 1000)
+  : Dataset[(Long, Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey { case (_, text, _) => graft.nlp.Hashes.fnv1a64(text) }
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seq = rows.toSeq
+            val lastEventMs = seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max)
+            val out = exactDedupGroup(seq.map(r => (r._1, r._2)), state)
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
   }
 
   /** State for [[simhashPairsStream]]: every (doc_id, simhash) seen so
@@ -306,23 +359,83 @@ object StreamingKg {
             state.remove()
             Iterator.empty
           } else {
-            val out = Vector.newBuilder[(Long, Long, Int)]
-            var entries = state.getOption.map(_.entries).getOrElse(Nil)
-            var size = entries.size // ≤ maxBucket by construction
-            // deterministic within-batch order: ascending doc_id
-            rows.toSeq.sortBy(_._2).foreach { case (_, id, h) =>
-              entries.foreach { case (pid, ph) =>
-                if (pid != id) {
-                  val d = graft.nlp.Hashes.hamming(ph, h)
-                  if (d <= maxHamming)
-                    out += ((math.min(pid, id), math.max(pid, id), d))
-                }
-              }
-              if (size < maxBucket) { entries = (id, h) :: entries; size += 1 }
-            }
-            state.update(BlockState(entries))
+            val out = simhashGroup(rows.toSeq.map(r => (r._2, r._3)), state,
+              maxHamming, maxBucket)
             maxIdle.foreach(state.setTimeoutDuration)
-            out.result().iterator
+            out
+          }
+      }
+  }
+
+  /** Shared per-group body of [[simhashPairsStream]] and its event-time
+    * variant: `rowSeq` = (doc_id, simhash) arrivals for one block bucket.
+    */
+  private def simhashGroup(rowSeq: Seq[(Long, Long)],
+                           state: GroupState[BlockState],
+                           maxHamming: Int, maxBucket: Int)
+  : Iterator[(Long, Long, Int)] = {
+    val out = Vector.newBuilder[(Long, Long, Int)]
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+    var size = entries.size // ≤ maxBucket by construction
+    // deterministic within-batch order: ascending doc_id
+    rowSeq.sortBy(_._1).foreach { case (id, h) =>
+      entries.foreach { case (pid, ph) =>
+        if (pid != id) {
+          val d = graft.nlp.Hashes.hamming(ph, h)
+          if (d <= maxHamming)
+            out += ((math.min(pid, id), math.max(pid, id), d))
+        }
+      }
+      if (size < maxBucket) { entries = (id, h) :: entries; size += 1 }
+    }
+    state.update(BlockState(entries))
+    out.result().iterator
+  }
+
+  /** Event-time variant of [[simhashPairsStream]] — the dedup horizon in
+    * EVENT time for replayed corpora (see [[exactDedupStreamEventTime]]
+    * for the discipline rationale). Input rows carry the document's
+    * event timestamp; block buckets are evicted when the watermark
+    * passes their last arrival's event time plus `idleGapMs`.
+    */
+  def simhashPairsStreamEventTime(docs: Dataset[(Long, String, java.sql.Timestamp)],
+                                  maxHamming: Int = 3,
+                                  watermarkDelay: String = "10 minutes",
+                                  idleGapMs: Long = 30L * 60 * 1000,
+                                  maxBucket: Int = Int.MaxValue)
+  : Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text, ts) =>
+        val feats = text.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => (graft.nlp.Hashes.fnv1a64(w), 1))
+        val h = graft.nlp.Hashes.simhash(feats)
+        (0 until 4).map(b =>
+          (b.toLong << 32 | ((h >>> (b * 16)) & 0xffffL), id, h, ts))
+      }
+      // watermark AFTER the fan-out: the event-time tag must sit on an
+      // attribute that reaches flatMapGroupsWithState's child (a typed
+      // flatMap between them would strip it)
+      .toDF("bucket", "doc_id", "simhash", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BlockState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seq = rows.toSeq
+            val lastEventMs = seq.iterator.map(_._4.getTime).foldLeft(0L)(math.max)
+            val out = simhashGroup(seq.map(r => (r._2, r._3)), state,
+              maxHamming, maxBucket)
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            out
           }
       }
   }
@@ -385,18 +498,73 @@ object StreamingKg {
             state.remove()
             Iterator.empty
           } else {
-            val out = Vector.newBuilder[(Long, Long)]
-            var ids = state.getOption.map(_.ids).getOrElse(Nil)
-            var size = ids.size // ≤ maxBucket by construction
-            rowsIt.toSeq.sortBy(_._2).foreach { case (_, id) =>
-              ids.foreach { pid =>
-                if (pid != id) out += ((math.min(pid, id), math.max(pid, id)))
-              }
-              if (size < maxBucket) { ids = id :: ids; size += 1 }
-            }
-            state.update(BucketState(ids))
+            val out = minhashGroup(rowsIt.toSeq.map(_._2), state, maxBucket)
             maxIdle.foreach(state.setTimeoutDuration)
-            out.result().iterator
+            out
+          }
+      }
+  }
+
+  /** Shared per-group body of [[minhashCandidatesStream]] and its
+    * event-time variant: `idSeq` = doc ids arriving in one band bucket.
+    */
+  private def minhashGroup(idSeq: Seq[Long], state: GroupState[BucketState],
+                           maxBucket: Int): Iterator[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var ids = state.getOption.map(_.ids).getOrElse(Nil)
+    var size = ids.size // ≤ maxBucket by construction
+    idSeq.sorted.foreach { id =>
+      ids.foreach { pid =>
+        if (pid != id) out += ((math.min(pid, id), math.max(pid, id)))
+      }
+      if (size < maxBucket) { ids = id :: ids; size += 1 }
+    }
+    state.update(BucketState(ids))
+    out.result().iterator
+  }
+
+  /** Event-time variant of [[minhashCandidatesStream]] — the dedup
+    * horizon in EVENT time for replayed corpora (see
+    * [[exactDedupStreamEventTime]]): band buckets are evicted when the
+    * watermark passes their last arrival's event time plus `idleGapMs`.
+    */
+  def minhashCandidatesStreamEventTime(docs: Dataset[(Long, String, java.sql.Timestamp)],
+                                       shingleN: Int = 3, numPerm: Int = 64,
+                                       bands: Int = 16,
+                                       watermarkDelay: String = "10 minutes",
+                                       idleGapMs: Long = 30L * 60 * 1000,
+                                       maxBucket: Int = Int.MaxValue)
+  : Dataset[(Long, Long)] = {
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text, ts) =>
+        val sig = graft.nlp.Hashes.minhash(
+          graft.ops.Dedup.docShingles(text, shingleN), numPerm)
+        (0 until bands).iterator.map(b =>
+          (graft.ops.Dedup.bandBucket(sig, b, rows), id, ts))
+      }
+      // watermark AFTER the fan-out (see simhashPairsStreamEventTime)
+      .toDF("bucket", "doc_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rowsIt: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seq = rowsIt.toSeq
+            val lastEventMs = seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max)
+            val out = minhashGroup(seq.map(_._2), state, maxBucket)
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            out
           }
       }
   }

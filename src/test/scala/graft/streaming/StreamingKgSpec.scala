@@ -421,6 +421,126 @@ class StreamingKgSpec extends SparkSpec {
     assert(streamed2.exists(p => p._1 == 1L && p._2 == 6L))
   }
 
+  test("event-time exact dedup: watermark evicts the bucket, re-ingest restarts the group") {
+    // the replay-correct horizon discipline: a bucket is evicted only
+    // when the WATERMARK proves no doc within idleGap (event time) can
+    // still arrive — wall-clock idleness is meaningless when history
+    // replays fast. Pre-eviction rows must match the PT/batch semantics.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingKg.exactDedupStreamEventTime(source.toDS(),
+        watermarkDelay = "1 minute", idleGapMs = 60000L)
+      .toDF("doc_id", "rep_id", "is_dup")
+      .writeStream.format("memory").queryName("et_dedup")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "same text", ts(base)),
+        (2L, "same text", ts(base + 1000)), (3L, "other", ts(base + 2000)))
+      q.processAllAvailable()
+      // pre-eviction parity with the batch operator (ascending ids)
+      assert(spark.table("et_dedup").as[(Long, Long, Boolean)].collect().toSet ==
+        Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+      // noise far ahead in event time pushes the watermark past the gap;
+      // the timeout fires on the batch AFTER the watermark advances
+      source.addData((50L, "noise a", ts(base + 600000)))
+      q.processAllAvailable()
+      source.addData((51L, "noise b", ts(base + 610000)))
+      q.processAllAvailable()
+      // the SAME text re-ingested after eviction: fresh group, own rep
+      source.addData((9L, "same text", ts(base + 700000)))
+      q.processAllAvailable()
+      val rows = spark.table("et_dedup").as[(Long, Long, Boolean)].collect().toSet
+      assert(rows.contains((9L, 9L, false)), s"bucket must have been evicted: $rows")
+    } finally q.stop()
+  }
+
+  test("event-time minhash candidates: batch parity within the horizon, eviction beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val words = (0 until 60).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.updated(7, "CHANGED").mkString(" ")),
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")),
+      (4L, words.mkString(" ")))
+    val shingled = corpus.toDF("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.ops.Dedup.docShingles(text, 3))
+      }.toDF("doc_id", "shingles")
+    val banded = graft.ops.Dedup.bandedBuckets(shingled, numPerm = 64, bands = 16)
+    val batchCands = banded
+      .join(banded.select($"doc_id".as("b"), $"bucket"), Seq("bucket"))
+      .filter($"doc_id" < $"b")
+      .select($"doc_id".as("a"), $"b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingKg.minhashCandidatesStreamEventTime(source.toDS(),
+        watermarkDelay = "1 minute", idleGapMs = 60000L)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("et_minhash")
+      .outputMode("append").start()
+    try {
+      // all four docs inside one event-time horizon, two arrivals
+      source.addData((corpus(0)._1, corpus(0)._2, ts(base)),
+        (corpus(2)._1, corpus(2)._2, ts(base + 1000)))
+      q.processAllAvailable()
+      source.addData((corpus(1)._1, corpus(1)._2, ts(base + 2000)),
+        (corpus(3)._1, corpus(3)._2, ts(base + 3000)))
+      q.processAllAvailable()
+      assert(spark.table("et_minhash").as[(Long, Long)].collect().toSet ==
+        batchCands)
+      // watermark passes the horizon → buckets evict; an exact dup of
+      // doc 1 arriving after eviction finds EMPTY buckets: no pair
+      source.addData((90L, (0 until 60).map(i => s"q$i").mkString(" "), ts(base + 600000)))
+      q.processAllAvailable()
+      source.addData((91L, (0 until 60).map(i => s"r$i").mkString(" "), ts(base + 610000)))
+      q.processAllAvailable()
+      source.addData((99L, words.mkString(" "), ts(base + 700000)))
+      q.processAllAvailable()
+      val after = spark.table("et_minhash").as[(Long, Long)].collect().toSet
+      assert(!after.exists(p => p._2 == 99L),
+        s"bucket state must have been evicted before doc 99: $after")
+    } finally q.stop()
+  }
+
+  test("event-time simhash pairs: pair within the horizon, none after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val text = (0 until 40).map(i => s"t$i").mkString(" ")
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingKg.simhashPairsStreamEventTime(source.toDS(),
+        watermarkDelay = "1 minute", idleGapMs = 60000L)
+      .toDF("a", "b", "hamming")
+      .writeStream.format("memory").queryName("et_simhash")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, text, ts(base)), (2L, text, ts(base + 1000)))
+      q.processAllAvailable()
+      assert(spark.table("et_simhash").select("a", "b").distinct()
+        .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+      source.addData((50L, "noise x", ts(base + 600000)))
+      q.processAllAvailable()
+      source.addData((51L, "noise y", ts(base + 610000)))
+      q.processAllAvailable()
+      source.addData((9L, text, ts(base + 700000)))
+      q.processAllAvailable()
+      val after = spark.table("et_simhash").select("a", "b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(after == Set((1L, 2L)),
+        s"evicted buckets must not pair with doc 9: $after")
+    } finally q.stop()
+  }
+
   test("minhashDedupStream: part-partitioned stores, a batch reads only its own parts") {
     // the r5 scale shape: stores are partitioned by pmod(xxhash64(key),
     // numParts) and each micro-batch's joins read ONLY the part dirs its
