@@ -146,6 +146,52 @@ object Stages {
     */
   def materializeMentionEval(spark: SparkSession, sfDir: String,
                              root: String): Seq[RunReport] = {
+    val reports = Seq.newBuilder[RunReport]
+    val (gold, pred, shared) = evalInputs(spark, sfDir, root)
+    reports ++= shared
+    val (_, r5) = run(spark, root, "mention_eval") {
+      Evaluation.mentionPrfReport(gold, pred)
+    }
+    reports += r5
+    reports.result()
+  }
+
+  /** The per-SUBCLASS breakdown as DURABLE resumable stages — the
+    * long-running counterpart of the kg_subclass_eval driver query (same
+    * plan: subclass-carrying gold, labelize + last-overlap
+    * re-attribution, per-label corpus totals — storage-backed
+    * intermediates instead of localCheckpoints). Shares `transcripts` /
+    * `eval_tokens` / `eval_pred` with [[materializeMentionEval]] by stage
+    * name, so the two evaluation routes resume into each other; only the
+    * subclass gold and the report stage are route-specific.
+    */
+  def materializeSubclassEval(spark: SparkSession, sfDir: String,
+                              root: String): Seq[RunReport] = {
+    val reports = Seq.newBuilder[RunReport]
+    val (gold, pred, shared) = evalInputs(spark, sfDir, root)
+    reports ++= shared
+    val (goldSub, r5) = run(spark, root, "eval_gold_subclass") {
+      // gazetteer tokens carry their surface word as the subclass, so
+      // labelize keeps it (the kg_subclass_eval gold)
+      gold.withColumn("subclass", col("text"))
+    }
+    reports += r5
+    val (_, r6) = run(spark, root, "subclass_eval") {
+      Evaluation.mentionCountsBySubclassByDoc(goldSub, pred)
+        .groupBy("label")
+        .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+          sum("fp_ov").as("fp_ov"), sum("fn_ov").as("fn_ov"))
+    }
+    reports += r6
+    reports.result()
+  }
+
+  /** Shared front of the two durable evaluation routes: transcripts →
+    * tokenization → gold (gazetteer) and pred (CRF Viterbi) mention
+    * tables, all as named resumable stages.
+    */
+  private def evalInputs(spark: SparkSession, sfDir: String, root: String)
+  : (DataFrame, DataFrame, Seq[RunReport]) = {
     import spark.implicits._
     val reports = Seq.newBuilder[RunReport]
     val (transcripts, r1) = run(spark, root, "transcripts") {
@@ -171,10 +217,6 @@ object Stages {
         withConfidence = false).toDF())
     }
     reports += r4
-    val (_, r5) = run(spark, root, "mention_eval") {
-      Evaluation.mentionPrfReport(gold, pred)
-    }
-    reports += r5
-    reports.result()
+    (gold, pred, reports.result())
   }
 }

@@ -101,4 +101,40 @@ class StagesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/mention_eval").collect().head.toSeq ==
       durable.head.toSeq)
   }
+
+  test("materializeSubclassEval: durable per-label breakdown, shares stages, parity with driver query") {
+    val root = Files.createTempDirectory("graft_subcls_stages").toString
+    // run the TOTAL route first: the subclass route must RESUME through
+    // its shared front (transcripts/eval_tokens/eval_gold/eval_pred all
+    // skipped) and add only its two route-specific stages
+    Stages.materializeMentionEval(spark, "/root/testdata/sf0.001", root)
+    val first = Stages.materializeSubclassEval(spark, "/root/testdata/sf0.001", root)
+    assert(first.map(_.stage) == Seq("transcripts", "eval_tokens", "eval_gold",
+      "eval_pred", "eval_gold_subclass", "subclass_eval"))
+    val skipped0 = first.map(r => r.stage -> r.skipped).toMap
+    assert(skipped0("transcripts") && skipped0("eval_tokens") &&
+      skipped0("eval_gold") && skipped0("eval_pred"))
+    assert(!skipped0("eval_gold_subclass") && !skipped0("subclass_eval"))
+    // parity with the in-session kg_subclass_eval driver query
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val durable = rows(spark.read.parquet(s"$root/subclass_eval")
+      .select("label", "tp", "fp", "fn", "fp_ov", "fn_ov"))
+    val inSession = rows(graft.SparkEntry.queries("kg_subclass_eval")(
+        spark, "/root/testdata/sf0.001")
+      .select("label", "tp", "fp", "fn", "fp_ov", "fn_ov"))
+    assert(durable == inSession && durable.nonEmpty)
+    // killed-run resume of the breakdown itself
+    def delete(p: String): Unit = {
+      val dir = new java.io.File(p)
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+    delete(s"$root/subclass_eval")
+    val second = Stages.materializeSubclassEval(spark, "/root/testdata/sf0.001", root)
+    val skipped = second.map(r => r.stage -> r.skipped).toMap
+    assert(skipped("eval_gold_subclass") && !skipped("subclass_eval"))
+    assert(rows(spark.read.parquet(s"$root/subclass_eval")
+      .select("label", "tp", "fp", "fn", "fp_ov", "fn_ov")) == durable)
+  }
 }
