@@ -23,6 +23,30 @@ object DepGraph {
 
   private val verbSuffixes = Seq("s", "ed", "ing")
 
+  /** Derivational verb suffixes (-ate/-ize/-ise/-ify and their 3sg
+    * forms) — strong verb evidence the bare -s rule lacks.
+    */
+  private val verbStemSuffixes = Seq("ate", "ates", "ize", "izes",
+    "ise", "ises", "ify", "ifies")
+
+  /** -ate words that are nouns/adjectives, not verbs. */
+  private val ateNouns = Set("phosphate", "substrate", "climate",
+    "candidate", "template", "intermediate", "acetate", "sulfate",
+    "nitrate", "carbonate", "appropriate", "adequate", "accurate",
+    "separate", "state", "estate", "fate", "gate", "plate", "rate",
+    "date", "mate", "late", "granulate", "aggregate", "certificate",
+    "delegate", "duplicate", "graduate", "chromate", "lysate")
+
+  /** Plural-noun suffix classes the bare -s verb rule must not claim:
+    * Greek/Latin -sis, diminutive/structure plurals (-ules/-cles/-omes/
+    * -eres/-asts), agent/instrument -ors, and -ssays. Exceptions list
+    * the few common verbs inside those classes.
+    */
+  private val nounPluralSuffixes = Seq("sis", "ules", "cles", "omes",
+    "eres", "asts", "ors", "ssays", "isms", "anes")
+  private val nounPluralVerbs = Set("comes", "becomes", "welcomes",
+    "overcomes", "interferes", "adheres")
+
   /** Frequency-derived English verb lexicon: auxiliaries, modals and the
     * most frequent irregular verb forms (the ones the -s/-ed/-ing suffix
     * rules cannot catch), from public word-frequency lists. Deliberately
@@ -58,7 +82,11 @@ object DepGraph {
   // the embedded verb (label "mark")
   private val adpLexicon = Set("of", "to", "in", "on", "at", "for", "with",
     "by", "from", "plus", "then", "and", "or", "nor", "but", "that",
-    "up", "down", "out", "into", "onto", "over", "under", "as", "than")
+    "up", "down", "out", "into", "onto", "over", "under", "as", "than",
+    "through", "across", "between", "within", "without", "during",
+    "against", "via", "upon", "among", "toward", "towards", "off",
+    "near", "per", "about", "after", "before", "because", "since",
+    "whether", "if", "although", "though", "unless", "until")
 
   /** Frequent adverbs the -ly suffix rule cannot catch. */
   private val advLexicon = Set("however", "also", "very", "only", "often",
@@ -106,6 +134,19 @@ object DepGraph {
     * NOUN bin (VERDICT r4: amod/advmod/attr edges — ~15% of the parser
     * gold — were structurally unreachable without them).
     */
+  /** Digits or internal capitals — gene symbols / identifiers (hot-loop
+    * form: no intermediate strings).
+    */
+  private def isSymbolWord(word: String): Boolean = {
+    var i = 0
+    while (i < word.length) {
+      val c = word.charAt(i)
+      if (c.isDigit || (i > 0 && c.isUpper)) return true
+      i += 1
+    }
+    false
+  }
+
   def coarsePos(word: String): String = {
     val w = word.toLowerCase
     if (w.isEmpty) "X"
@@ -116,9 +157,17 @@ object DepGraph {
     else if (advLexicon.contains(w)) "ADV"
     else if (verbLexicon.contains(w)) "VERB"
     else if (adjLexicon.contains(w)) "ADJ"
+    // symbol-shaped tokens (digits, internal capitals: CYO1, snoRNA,
+    // CpNifS, At3g47390) are names — never verbs, whatever their suffix
+    else if (isSymbolWord(word)) "NOUN"
     else if (w.length > 4 && w.endsWith("ly") && !lyNouns.contains(w)) "ADV"
     else if (w.length > 4 && adjSuffixes.exists(w.endsWith) &&
       !adjSuffixNouns.contains(w)) "ADJ"
+    else if (w.length > 3 && verbStemSuffixes.exists(w.endsWith) &&
+      !ateNouns.contains(w)) "VERB"
+    // plural-noun suffix classes outrank the bare -s verb rule
+    else if (w.length > 3 && nounPluralSuffixes.exists(w.endsWith) &&
+      !nounPluralVerbs.contains(w)) "NOUN"
     else if (w.length > 3 && verbSuffixes.exists(w.endsWith)) "VERB"
     else "NOUN"
   }
@@ -129,19 +178,43 @@ object DepGraph {
   private val gerundBinders = Set("of", "in", "on", "at", "for", "with",
     "by", "from")
 
-  /** Sentence-context POS: [[coarsePos]] per token plus the one adjustment
-    * that needs a right neighbor — an -ing verb directly followed by a
-    * noun-binding preposition is a nominal gerund ("targeting of Mdv1p",
-    * "gene silencing in Arabidopsis"), which keeps such deverbal nouns
-    * from being picked as the sentence root. Shared by [[heads]] and
-    * [[depLabels]] so both see the same tag sequence.
+  /** Noun-shaped suffixes that VETO the to-infinitive promotion in
+    * [[sentencePos]] ("to membrane" stays a noun, "to induce" flips).
+    */
+  private val infinitiveNounSuffixes = Seq("tion", "sion", "ment", "ness",
+    "ity", "ism", "ase", "ome", "ule", "cle", "ane", "ein", "gen", "um")
+
+  /** Sentence-context POS: [[coarsePos]] per token plus the adjustments
+    * that need a neighbor (r5b widened the set):
+    *
+    *  - an -ing verb directly followed by a noun-binding preposition is a
+    *    nominal gerund ("targeting of Mdv1p", "gene silencing in
+    *    Arabidopsis") — keeps deverbal nouns from being picked as root;
+    *  - a capitalized MID-SENTENCE word the suffix rules called a verb is
+    *    a proper noun ("Arabidopsis thaliana", "Saccharomyces") — names
+    *    are never verbs, but sentence-initial capitals say nothing;
+    *  - a noun-tagged word DIRECTLY after infinitival "to" whose shape
+    *    fits an English bare verb (no plural -s, no Latin-plural -a/-i/-o
+    *    ending) is the infinitive ("to induce", "to determine", "to
+    *    transport" — vs "to mitochondria", "to nucleoli", where the
+    *    vowel ending keeps the noun reading).
+    *
+    * Shared by [[heads]] and [[depLabels]] so both see the same tags.
     */
   def sentencePos(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
     val base = toks.map(t => coarsePos(t.word))
     IndexedSeq.tabulate(toks.length) { i =>
-      if (base(i) == "VERB" && toks(i).word.toLowerCase.endsWith("ing") &&
+      val w = toks(i).word
+      val lw = w.toLowerCase
+      if (base(i) == "VERB" && lw.endsWith("ing") &&
         i + 1 < toks.length && base(i + 1) == "ADP" &&
         gerundBinders.contains(toks(i + 1).word.toLowerCase)) "NOUN"
+      else if (base(i) == "VERB" && i > 0 && w.head.isUpper) "NOUN"
+      else if (base(i) == "NOUN" && i > 0 &&
+        toks(i - 1).word.equalsIgnoreCase("to") && w.head.isLower &&
+        !lw.endsWith("s") && !lw.endsWith("a") && !lw.endsWith("i") &&
+        !lw.endsWith("o") && !infinitiveNounSuffixes.exists(lw.endsWith))
+        "VERB"
       else base(i)
     }
   }
@@ -157,6 +230,9 @@ object DepGraph {
 
   private val ccLexicon = Set("and", "or", "nor", "but")
   private val copulaLexicon = Set("is", "are", "was", "were", "be", "been", "am")
+
+  /** Closed-class verb particles ("taken up", "ruled out"). */
+  private val particleSet = Set("up", "down", "out", "off", "away", "back")
 
   /** Deterministic dependency LABEL of each token's edge to its head —
     * the hermetic stand-in for spaCy's labeled parse (nalaf reads
@@ -178,8 +254,15 @@ object DepGraph {
     * "root" (never emitted as an edge feature). A fixed small label
     * vocabulary keeps hashed feature space stable across corpora.
     */
-  def depLabels(toks: IndexedSeq[Tok], heads: Array[Int]): Array[String] = {
-    val pos = sentencePos(toks)
+  def depLabels(toks: IndexedSeq[Tok], heads: Array[Int]): Array[String] =
+    depLabels(toks, heads, sentencePos(toks))
+
+  /** [[depLabels]] with a precomputed [[sentencePos]] — the fused
+    * pipeline computes the tag sequence once per sentence and shares it
+    * between [[heads]] and the labels (hot-loop form).
+    */
+  def depLabels(toks: IndexedSeq[Tok], heads: Array[Int],
+                pos: IndexedSeq[String]): Array[String] = {
     val lower = toks.map(_.word.toLowerCase)
     def ccBetween(a: Int, b: Int): Boolean = {
       val lo = math.min(a, b); val hi = math.max(a, b)
@@ -199,13 +282,17 @@ object DepGraph {
             if (ccLexicon.contains(w)) "cc"
             else if (w == "that" && hp == "VERB" && h > i) "mark"
             else if (w == "to" && h == i + 1 && hp == "VERB") "aux"
+            // verb particle: "taken up" — a closed-class particle bound
+            // to the directly preceding verb is prt (fixed vocab: dep)
+            else if (particleSet.contains(w) && h == i - 1 && hp == "VERB") "dep"
             else "prep"
           case "NUM" => "nummod"
           case "VERB" =>
-            if (auxLexicon.contains(w)) "aux"
+            // aux only on a FORWARD chain ("was found"); an aux-form verb
+            // heading BACKWARD is a complement ("found to be ..." — be)
+            if (auxLexicon.contains(w) && h > i) "aux"
             else if (hp == "NOUN" || hp == "NUM") "amod"
             else if (hp == "VERB" && ccBetween(h, i)) "conj"
-            else if (hp == "VERB") "dep"
             else "dep"
           case "ADJ" =>
             if (hp == "NOUN" || hp == "NUM") "amod"
@@ -278,10 +365,13 @@ object DepGraph {
     *    what the path property tests pin);
     *  - hyphens bind the following token, other punctuation the root.
     */
-  def heads(toks: IndexedSeq[Tok]): Array[Int] = {
+  def heads(toks: IndexedSeq[Tok]): Array[Int] =
+    heads(toks, sentencePos(toks))
+
+  /** [[heads]] with a precomputed [[sentencePos]] (hot-loop form). */
+  def heads(toks: IndexedSeq[Tok], pos: IndexedSeq[String]): Array[Int] = {
     val n = toks.length
     if (n == 0) return Array.empty
-    val pos = sentencePos(toks)
     val lower = toks.map(_.word.toLowerCase)
     def nominal(p: String) = p == "NOUN" || p == "NUM"
     def isAux(i: Int) = auxLexicon.contains(lower(i))
@@ -311,9 +401,30 @@ object DepGraph {
     def participleForm(j: Int): Boolean =
       lower(j).endsWith("ed") || lower(j).endsWith("ing") ||
         participleLexicon.contains(lower(j))
-    // prenom(j): pre-nominal participle; nomThrough(j): the noun-run head
-    // reachable at/after j crossing only adjectives/participles. Mutually
-    // dependent, resolved in one right-to-left pass.
+    // prenom(j): pre-nominal participle; nomThrough(j): the noun-phrase
+    // modifier target reachable at/after j crossing only adjectives/
+    // participles. Mutually dependent, resolved right-to-left.
+    // modTarget: where a run's MODIFIERS (and its non-final tokens)
+    // attach — normally the run-final token, but a run ending in a
+    // symbol-like name ("biogenesis factor CYO1") heads its modifiers on
+    // the last COMMON noun (factor), which itself compounds into the name.
+    def symbolLike(j: Int): Boolean = isSymbolWord(toks(j).word)
+    val modTarget = Array.tabulate(n)(identity)
+    i = 0
+    while (i < n) {
+      if (nominal(pos(i)) && runStart(i) == i) {
+        val e = runEnd(i)
+        var t = e
+        if (symbolLike(e)) {
+          var j = e - 1
+          while (j >= i && symbolLike(j)) j -= 1
+          if (j >= i) t = j
+        }
+        var j = i
+        while (j <= e) { modTarget(j) = t; j += 1 }
+      }
+      i += 1
+    }
     val prenom = new Array[Boolean](n)
     val nomThrough = Array.fill(n + 1)(-1)
     i = n - 1
@@ -323,22 +434,41 @@ object DepGraph {
           pos(i - 1) == "ADJ" || pos(i - 1) == "ADV" || lower(i - 1) == "-") &&
         nomThrough(i + 1) >= 0
       nomThrough(i) =
-        if (nominal(pos(i))) runEnd(i)
+        if (nominal(pos(i))) modTarget(i)
         else if (pos(i) == "ADJ" || prenom(i)) nomThrough(i + 1)
         else -1
       i -= 1
     }
-    def plainVerb(j: Int) = pos(j) == "VERB" && !fwdAux(j) && !prenom(j)
+    // reduced relative clause: a participle directly after the noun it
+    // modifies, continued by a preposition or adverb ("lipase located
+    // in...", never "chloroplasts showed that..." — a following
+    // complementizer or NP means a main verb)
+    def redRel(j: Int): Boolean =
+      pos(j) == "VERB" && !prenom(j) && !fwdAux(j) && participleForm(j) &&
+        j > 0 && nominal(pos(j - 1)) && j + 1 < n &&
+        ((pos(j + 1) == "ADP" && lower(j + 1) != "that") || pos(j + 1) == "ADV")
+    def plainVerb(j: Int) =
+      pos(j) == "VERB" && !fwdAux(j) && !prenom(j) && !redRel(j)
+    // nearest preceding verb for ARGUMENT attachment (subjects/objects
+    // skip reduced relatives — "lipase located in X binds Y" arguments
+    // belong to the main verb) ...
     def prevPlainVerb(j0: Int): Int = {
       var j = j0 - 1
       while (j >= 0 && !plainVerb(j)) j -= 1
       j
     }
-    // first verb to the right (participles excluded); forward-binding
-    // auxiliaries are chased into their target verb
+    // ... while PPs and adverbs attach to the closest verbal form,
+    // reduced relatives included ("located IN lipid particles")
+    def prevAttachVerb(j0: Int): Int = {
+      var j = j0 - 1
+      while (j >= 0 && !(pos(j) == "VERB" && !fwdAux(j) && !prenom(j))) j -= 1
+      j
+    }
+    // first verb to the right (participle modifiers excluded);
+    // forward-binding auxiliaries are chased into their target verb
     def nextVerbChain(j0: Int): Int = {
       var j = j0 + 1
-      while (j < n && !(pos(j) == "VERB" && !prenom(j))) j += 1
+      while (j < n && !(pos(j) == "VERB" && !prenom(j) && !redRel(j))) j += 1
       if (j >= n) -1
       else {
         var t = j
@@ -346,28 +476,56 @@ object DepGraph {
         if (t >= 0) t else j
       }
     }
-    val root = pos.indices.find(plainVerb)
+    // parenthesis depth: the main verb of a sentence never sits inside a
+    // parenthetical ("maize ( Zea mays ) PyrR ... restored")
+    val depth = new Array[Int](n)
+    var d = 0
+    i = 0
+    while (i < n) {
+      if (lower(i) == "(") d += 1
+      depth(i) = d
+      if (lower(i) == ")" && d > 0) d -= 1
+      i += 1
+    }
+    val root = pos.indices.find(j => plainVerb(j) && depth(j) == 0)
+      .orElse(pos.indices.find(plainVerb))
       .orElse(pos.indices.find(j => pos(j) == "VERB"))
       .getOrElse {
         val firstNoun = pos.indexWhere(nominal)
         if (firstNoun >= 0) runEnd(firstNoun) else 0
       }
+    // left-walk skip set for determiners and run-final nouns: the
+    // modifier cluster plus hyphenated modifier chunks ("Dnm1p -
+    // independent" — a nominal directly followed by a hyphen)
+    def modSkip(j: Int): Boolean =
+      pos(j) == "DET" || pos(j) == "ADJ" || pos(j) == "ADV" || prenom(j) ||
+        lower(j) == "-" ||
+        (nominal(pos(j)) && j + 1 < n && lower(j + 1) == "-")
     Array.tabulate(n) { k =>
       if (k == root) root
       else pos(k) match {
         case "PUNCT" =>
-          if (lower(k) == "-" && k + 1 < n) k + 1 else root
+          if (lower(k) == "-" && k + 1 < n) k + 1
+          // parentheses attach to the head of the enclosed noun phrase
+          else if (lower(k) == "(" && k + 1 < n && nominal(pos(k + 1)))
+            runEnd(k + 1)
+          else if (lower(k) == ")" && k > 0 && nominal(pos(k - 1)))
+            runEnd(k - 1)
+          else root
         case "VERB" =>
           if (prenom(k)) nomThrough(k + 1)
           else if (fwdAux(k)) nextVerbRaw(k)
+          else if (redRel(k)) k - 1
           else {
             val p = prevPlainVerb(k)
             if (p >= 0) p else root
           }
         case "DET" =>
           var j = k + 1
-          while (j < n && (pos(j) == "ADJ" || pos(j) == "ADV" || prenom(j))) j += 1
-          if (j < n && nominal(pos(j))) runEnd(j)
+          while (j < n && (pos(j) == "ADJ" || pos(j) == "ADV" || prenom(j) ||
+            lower(j) == "-" ||
+            (nominal(pos(j)) && j + 1 < n && lower(j + 1) == "-"))) j += 1
+          if (j < n && nominal(pos(j))) modTarget(j)
           else if (k + 1 < n && pos(k + 1) == "VERB") k + 1
           else { val p = prevPlainVerb(k); if (p >= 0) p else root }
         case "ADP" =>
@@ -375,16 +533,22 @@ object DepGraph {
             val v = nextVerbChain(k)
             if (v >= 0) v
             else if (k > 0 && nominal(pos(k - 1))) k - 1
-            else { val p = prevPlainVerb(k); if (p >= 0) p else root }
+            else { val p = prevAttachVerb(k); if (p >= 0) p else root }
           }
           else if (lower(k) == "to" && k + 1 < n && pos(k + 1) == "VERB") k + 1
+          else if (ccLexicon.contains(lower(k)) && {
+            // VP coordination: "colocalizes ... and is required" — the
+            // coordinator binds back to the verb, not the preceding NP
+            (k + 1 < n && pos(k + 1) == "VERB") ||
+              (k + 2 < n && pos(k + 1) == "ADV" && pos(k + 2) == "VERB")
+          }) { val p = prevPlainVerb(k); if (p >= 0) p else root }
           else if (k > 0 && nominal(pos(k - 1))) k - 1
-          else { val p = prevPlainVerb(k); if (p >= 0) p else root }
+          else { val p = prevAttachVerb(k); if (p >= 0) p else root }
         case "ADJ" =>
           val t = nomThrough(k + 1)
           if (t >= 0) t
           else {
-            val p = prevPlainVerb(k)
+            val p = prevAttachVerb(k)
             if (p >= 0) p
             else { val v = nextVerbChain(k); if (v >= 0) v else root }
           }
@@ -393,20 +557,35 @@ object DepGraph {
           while (j < n && pos(j) == "ADV") j += 1
           if (j < n && (pos(j) == "VERB" || pos(j) == "ADJ")) j
           else {
-            val p = prevPlainVerb(k)
+            val p = prevAttachVerb(k)
             if (p >= 0) p
             else { val v = nextVerbChain(k); if (v >= 0) v else root }
           }
         case _ => // NOUN / NUM
-          if (runEnd(k) != k) runEnd(k)
+          if (runEnd(k) != k) {
+            if (k < modTarget(k)) modTarget(k) else runEnd(k)
+          }
+          // a run-final noun directly before a hyphenated modifier heads
+          // into it: "ubiquitin - dependent", "Fe - S"
+          else if (k + 1 < n && lower(k + 1) == "-" && k + 2 < n) k + 2
           else {
             var j = runStart(k) - 1
-            while (j >= 0 && (pos(j) == "DET" || pos(j) == "ADJ" ||
-              pos(j) == "ADV" || prenom(j))) j -= 1
+            while (j >= 0 && modSkip(j)) j -= 1
             if (j >= 0 && pos(j) == "ADP") {
-              if (ccLexicon.contains(lower(j)) && j > 0 && nominal(pos(j - 1))) j - 1
+              if (ccLexicon.contains(lower(j)) && j > 0 && nominal(pos(j - 1)))
+                j - 1
+              else if (lower(j) == "that") {
+                // subject of the embedded clause: "showed that PyrR ...
+                // are taken"
+                val v = nextVerbChain(k)
+                if (v >= 0) v else j
+              }
               else j
             }
+            // parenthetical apposition: "pea ( Pisum sativum )" — the
+            // enclosed NP belongs to the noun before the parenthesis
+            else if (j >= 0 && lower(j) == "(" && j > 0 &&
+              nominal(pos(j - 1))) modTarget(j - 1)
             else {
               val p = prevPlainVerb(k)
               if (p >= 0) p

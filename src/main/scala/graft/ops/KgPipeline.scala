@@ -103,10 +103,13 @@ object KgPipeline {
     final case class SentCtx(turnIdx: Int, sentIdx: Int, toks: IndexedSeq[Tok],
         mentions: Seq[Mention]) {
       lazy val prep: RelationScoring.SentencePrep = {
-        val hs = DepGraph.heads(toks)
+        // one sentencePos pass shared by heads AND depLabels (hot loop)
+        val sp = DepGraph.sentencePos(toks)
+        val hs = DepGraph.heads(toks, sp)
         val adj = DepGraph.adjacency(toks.length, hs)
         val root = hs.indices.find(i => hs(i) == i).getOrElse(0)
-        new RelationScoring.SentencePrep(toks, hs, adj, DepGraph.depths(adj, root))
+        new RelationScoring.SentencePrep(toks, hs, adj,
+          DepGraph.depths(adj, root), sentPos = sp)
       }
     }
     val ctxs: Vector[SentCtx] = sorted.iterator.flatMap { t =>

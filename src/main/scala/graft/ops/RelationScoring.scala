@@ -142,7 +142,8 @@ object RelationScoring {
     */
   final class SentencePrep(val toks: IndexedSeq[Tok], val heads: Array[Int],
                            val adj: Array[List[Int]], val depth: Array[Int],
-                           val extraLabels: Map[Long, String] = Map.empty) {
+                           val extraLabels: Map[Long, String] = Map.empty,
+                           sentPos: IndexedSeq[String] = null) {
     // per-index caches (not eager arrays): a pair typically touches only
     // its path/between tokens, so cross-context preps stay cheap while
     // dense same-sentence preps still amortize fully
@@ -170,7 +171,9 @@ object RelationScoring {
       * (`token.features['dep']` in the reference) — shared by the PD edge
       * n-grams, the chain features and the negation test.
       */
-    lazy val depLabels: Array[String] = DepGraph.depLabels(toks, heads)
+    lazy val depLabels: Array[String] =
+      if (sentPos != null) DepGraph.depLabels(toks, heads, sentPos)
+      else DepGraph.depLabels(toks, heads)
     // labeled-dependency form (`data.py:1106-1118`): odd # of `neg` deps
     lazy val negated: Boolean = DepGraph.isNegatedLabeled(depLabels)
     lazy val mainVerbStems: List[String] = {
