@@ -242,6 +242,16 @@ object SparkEntry {
     // ---- training-data pipeline operators ----------------------------
     "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dd_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), n = 5, threshold = 0.1)),
+    "dd_decontam" -> ((s, dir) => {
+      // benchmark decontamination: the deterministic doc_id % 17 == 3
+      // slice stands in for a held-out eval set (both engines compute the
+      // identical slice); contaminated = ≥ 2 distinct shared 5-gram
+      // shingles with ANY benchmark doc. Benchmark members are trivially
+      // contaminated via self-overlap — expected; the oracle mirrors it.
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 17 === 3),
+        n = 5, minHits = 2)
+    }),
     // bands=32 (rows=2): per-band collision j², miss over 32 bands
     // (1-j²)³² — at the corpus's lowest qualifying Jaccard (0.8 at sf0.1)
     // that is ~6e-15, so the banded-LSH output equals the exact-Jaccard
@@ -881,6 +891,26 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1""".stripMargin,
+
+    // decontamination mirror: word-level 5-gram shingles in SQL (the
+    // Scala side hashes them — identical membership absent 64-bit
+    // collisions, the same argument the dd_ngram/dd_minhash oracles use)
+    "dd_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+        |),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS hits
+        |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |  GROUP BY 1
+        |)
+        |SELECT c.doc_id, COALESCE(h.hits, 0) AS hits,
+        |       COALESCE(h.hits, 0) >= 2 AS contaminated
+        |FROM (SELECT doc_id FROM documents) c
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // dd_minhash emits banded-LSH candidate pairs verified by TRUE shingle
     // Jaccard; with bands=32/rows=2 the candidate set provably (p_miss ~

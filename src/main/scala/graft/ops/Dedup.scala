@@ -246,4 +246,38 @@ object Dedup {
       .toDF("a", "b", "hamming")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark DECONTAMINATION — flag corpus documents sharing at least
+    * `minHits` distinct n-gram shingles with ANY document of a benchmark
+    * set (the n-gram-collision rule training-data pipelines run before
+    * training so held-out evaluation data cannot leak into the corpus).
+    * Output: one row per corpus doc — (doc_id, hits, contaminated).
+    *
+    * Scale shape: a benchmark is eval-sized (thousands of docs), so its
+    * DISTINCT hashed-shingle set is BROADCAST; the corpus is scanned
+    * once, the semi join runs map-side, and the only shuffle carries
+    * (doc_id, hit-count) partial aggregates — corpus text never moves.
+    * Shingles are the engine-owned hashed sets ([[docShingles]], the same
+    * ones dd_ngram/dd_minhash verify with), so membership equals
+    * word-level n-gram membership absent 64-bit collisions — the
+    * argument the existing dedup oracles already rely on.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 5, minHits: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def shingleRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) => docShingles(t, n).iterator.map(s => (id, s)) }
+        .toDF("doc_id", "sh")
+    val benchSh = shingleRows(benchmark).select("sh").distinct()
+    val hits = shingleRows(corpus)
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contaminated", col("hits") >= minHits)
+  }
 }

@@ -229,6 +229,33 @@ class CurationSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("decontamination: planted benchmark overlap, hit arithmetic, broadcast shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // benchmark doc: 10 words → 6 distinct 5-gram shingles (w1..w10)
+    val benchText = (1 to 10).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, benchText),                                   // exact copy → 6 hits
+      (2L, (3 to 12).map(i => s"w$i").mkString(" ")),    // shifted: shares w3..w10 run
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")),    // unrelated → 0 hits
+      (4L, "w1 w2 w3 w4 w5 q q q q q")                   // one shared shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, n = 5, minHits = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // doc 2 shares the shingles fully inside w3..w10: windows w3..w7,
+    // w4..w8, w5..w9, w6..w10 → 4 hits
+    assert(out == Seq((1L, 6L, true), (2L, 4L, true), (3L, 0L, false),
+      (4L, 1L, false)))
+    // scale shape: the benchmark shingle set is broadcast — no shuffle of
+    // corpus shingles into the semi join
+    val plan = Dedup.decontaminate(corpus, bench, 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")
