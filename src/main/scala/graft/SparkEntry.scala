@@ -290,6 +290,11 @@ object SparkEntry {
     "txt_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "txt_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "txt_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // sequence packing via distributed prefix sum — chunkSize 64 makes
+    // even the sf0.001 corpus span multiple chunks, so the per-chunk
+    // offsets path is what the oracle actually checks
+    "txt_pack" -> ((s, dir) =>
+      TextAnalysis.pack(docs(s, dir), budget = 512, chunkSize = 64)),
     // Gopher-style repetition mass (top-bigram + duplicated-5-gram
     // character fractions) — the standard boilerplate/loop-text filter
     // signals for pre-training corpora
@@ -997,6 +1002,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
         |FROM t""".stripMargin,
+
+    // sequence packing: DuckDB states the GLOBAL exclusive prefix sum as
+    // one window; the engine computes the identical value as a
+    // distributed prefix sum (per-chunk windows + offset rejoin) — the
+    // equality across multiple chunks is exactly what this oracle checks
+    "txt_pack" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |       COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |                  OVER (ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) // 512 AS seq_id
+        |FROM documents""".stripMargin,
 
     // Gopher repetition mass in SQL: same occurrence-mass definition and
     // the same (count, gram) lexicographic top-bigram tie-break (struct

@@ -135,4 +135,43 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("graft_fingerprint(text)").as("fingerprint"))
   }
+
+  /** Training-sequence PACKING: assign each document (in doc_id order) a
+    * sequence id so that consecutive sequences hold `budget` tokens of
+    * contiguous documents — `seq_id = prefix_tokens_before div budget`,
+    * the boundary-straddling "chunked" packing that concatenate-and-split
+    * samplers use when assembling pre-training batches. Output:
+    * (doc_id, tokens, seq_id).
+    *
+    * Scale shape: a running sum over a GLOBAL order must not be written
+    * as one window — a window without PARTITION BY plans a single task.
+    * This is a DISTRIBUTED PREFIX SUM: per-chunk running sums
+    * (chunk = doc_id div chunkSize, an order-preserving key) run as
+    * parallel partitioned windows; the per-chunk TOTALS — one row per
+    * chunk, driver-sized by construction (10^10 docs / 2^20-doc chunks ≈
+    * 10k rows) — come back, turn into exclusive prefix offsets, and
+    * rejoin by broadcast. Two keyed shuffles, both payload-free.
+    */
+  def pack(docs: DataFrame, budget: Long, chunkSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && chunkSize > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"),
+      floor(col("doc_id") / chunkSize).cast("long").as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = toks.withColumn("local_before",
+      coalesce(sum("tokens").over(w), lit(0L)))
+    // per-chunk totals: one row per chunk — model-sized driver traffic
+    val totals = toks.groupBy("chunk").agg(sum("tokens").as("t"))
+      .orderBy("chunk").as[(Long, Long)].collect()
+    var acc = 0L
+    val offsets = totals.map { case (c, t) => val o = acc; acc += t; (c, o) }
+    val offDf = offsets.toSeq.toDF("chunk", "chunk_offset")
+    withLocal.join(broadcast(offDf), Seq("chunk"))
+      .select(col("doc_id"), col("tokens"),
+        expr("(chunk_offset + local_before) div " + budget).as("seq_id"))
+  }
 }

@@ -256,6 +256,35 @@ class CurationSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("sequence packing: distributed prefix sum == driver-computed global scan") {
+    import spark.implicits._
+    // 25 docs with varied token counts, chunkSize=4 → 7 chunks, so the
+    // per-chunk offsets path is genuinely exercised (one chunk would be
+    // a plain window)
+    val rng = new scala.util.Random(11)
+    val docsSeq = (0L until 25L).map(i =>
+      (i, Vector.fill(1 + rng.nextInt(9))("w").mkString(" ")))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val out = TextAnalysis.pack(docs, budget = 10, chunkSize = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // driver-side reference: one sequential scan
+    var acc = 0L
+    val expected = docsSeq.map { case (id, t) =>
+      val n = t.split(" ").length.toLong
+      val seq = acc / 10; acc += n; (id, n, seq)
+    }
+    assert(out == expected)
+    // seq ids are monotone and every boundary-interior sequence holds
+    // >= budget tokens' worth of starts (chunked-packing invariant)
+    assert(out.map(_._3) == out.map(_._3).sorted)
+    // scale shape: the running-sum window must be PARTITIONED (a global
+    // window would plan one task)
+    val plan = TextAnalysis.pack(docs, 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("partitionBy") ||
+      plan.contains("chunk"), s"window must partition by chunk:\n$plan")
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")
