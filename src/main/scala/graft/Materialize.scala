@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * `graft.Materialize <sfDir> <outputRoot> [--with-eval]` — runs (or
   * resumes) the transcripts → mentions → edges → triples → nodes stage
   * chain with per-partition lineage (see graft.ops.Stages);
-  * `--with-eval` additionally runs the durable mention-evaluation route
-  * (eval_tokens → eval_gold → eval_pred → mention_eval), sharing the
-  * `transcripts` stage.
+  * `--with-eval` additionally runs BOTH durable evaluation routes —
+  * the mention-level total (eval_tokens → eval_gold → eval_pred →
+  * mention_eval) and the per-subclass breakdown (eval_gold_subclass →
+  * subclass_eval) — sharing the `transcripts`/tokens/gold/pred stages.
   */
 object Materialize {
   def main(args: Array[String]): Unit = {
@@ -24,7 +25,9 @@ object Materialize {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reports = ops.Stages.materializeAll(spark, sfDir, root) ++
-      (if (withEval) ops.Stages.materializeMentionEval(spark, sfDir, root)
+      (if (withEval)
+         ops.Stages.materializeMentionEval(spark, sfDir, root) ++
+           ops.Stages.materializeSubclassEval(spark, sfDir, root)
        else Nil)
     reports.distinctBy(_.stage).foreach { r =>
       val n = spark.read.parquet(r.outputPath).count()

@@ -144,18 +144,19 @@ object TextAnalysis {
     * (doc_id, tokens, seq_id).
     *
     * Scale shape: a running sum over a GLOBAL order must not be written
-    * as one window — a window without PARTITION BY plans a single task.
-    * This is a DISTRIBUTED PREFIX SUM: per-chunk running sums
+    * as one corpus-wide window — a window without PARTITION BY plans a
+    * single task. This is a DISTRIBUTED PREFIX SUM, fully LAZY (one job,
+    * no driver collect — an eager totals collect would be a second
+    * steal-exposed barrier, the InfoGain lesson): per-chunk running sums
     * (chunk = doc_id div chunkSize, an order-preserving key) run as
-    * parallel partitioned windows; the per-chunk TOTALS — one row per
-    * chunk, driver-sized by construction (10^10 docs / 2^20-doc chunks ≈
-    * 10k rows) — come back, turn into exclusive prefix offsets, and
-    * rejoin by broadcast. Two keyed shuffles, both payload-free.
+    * parallel partitioned windows; the per-chunk TOTALS aggregate — one
+    * row per chunk, tiny by construction (10^10 docs / 2^20-doc chunks ≈
+    * 10k rows) — feeds the ONLY unpartitioned window in the plan (over
+    * chunk-count rows, not corpus rows), and the exclusive offsets
+    * rejoin by broadcast.
     */
   def pack(docs: DataFrame, budget: Long, chunkSize: Long = 1L << 20): DataFrame = {
     require(budget > 0 && chunkSize > 0)
-    val spark = docs.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("tokens"),
@@ -164,12 +165,12 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = toks.withColumn("local_before",
       coalesce(sum("tokens").over(w), lit(0L)))
-    // per-chunk totals: one row per chunk — model-sized driver traffic
-    val totals = toks.groupBy("chunk").agg(sum("tokens").as("t"))
-      .orderBy("chunk").as[(Long, Long)].collect()
-    var acc = 0L
-    val offsets = totals.map { case (c, t) => val o = acc; acc += t; (c, o) }
-    val offDf = offsets.toSeq.toDF("chunk", "chunk_offset")
+    // exclusive prefix offsets over the chunk totals — chunk-count rows
+    val wOff = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = toks.groupBy("chunk").agg(sum("tokens").as("t"))
+      .select(col("chunk"),
+        coalesce(sum("t").over(wOff), lit(0L)).as("chunk_offset"))
     withLocal.join(broadcast(offDf), Seq("chunk"))
       .select(col("doc_id"), col("tokens"),
         expr("(chunk_offset + local_before) div " + budget).as("seq_id"))

@@ -174,7 +174,8 @@ object StreamingKg {
   /** State for [[exactDedupStream]]: the representative (first-seen
     * minimal) doc_id and its text for each content hash.
     */
-  final case class DedupState(repId: Long, text: String)
+  final case class DedupState(repId: Long, text: String,
+                              lastEventMs: Long = 0L)
 
   /** Streaming EXACT dedup at ingest — the incremental counterpart of
     * `Dedup.exact` for a landing-zone document stream: documents are
@@ -289,8 +290,15 @@ object StreamingKg {
             Iterator.empty
           } else {
             val seq = rows.toSeq
-            val lastEventMs = seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max)
+            // horizon = max event time EVER seen by this bucket (state-
+            // carried) — re-arming from the current batch alone would let
+            // a late-but-valid arrival SHRINK the horizon and evict early
+            val lastEventMs = math.max(
+              seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max),
+              state.getOption.map(_.lastEventMs).getOrElse(0L))
             val out = exactDedupGroup(seq.map(r => (r._1, r._2)), state)
+            state.getOption.foreach(s =>
+              state.update(s.copy(lastEventMs = lastEventMs)))
             state.setTimeoutTimestamp(
               math.max(lastEventMs + idleGapMs,
                 state.getCurrentWatermarkMs() + 1))
@@ -302,7 +310,8 @@ object StreamingKg {
   /** State for [[simhashPairsStream]]: every (doc_id, simhash) seen so
     * far in one 16-bit block bucket.
     */
-  final case class BlockState(entries: List[(Long, Long)])
+  final case class BlockState(entries: List[(Long, Long)],
+                              lastEventMs: Long = 0L)
 
   /** Streaming NEAR-dup detection at ingest — the incremental form of
     * `Dedup.simhashPairs`: each arriving document fans out to its four
@@ -429,9 +438,14 @@ object StreamingKg {
             Iterator.empty
           } else {
             val seq = rows.toSeq
-            val lastEventMs = seq.iterator.map(_._4.getTime).foldLeft(0L)(math.max)
+            // state-carried max event time — see exactDedupStreamEventTime
+            val lastEventMs = math.max(
+              seq.iterator.map(_._4.getTime).foldLeft(0L)(math.max),
+              state.getOption.map(_.lastEventMs).getOrElse(0L))
             val out = simhashGroup(seq.map(r => (r._2, r._3)), state,
               maxHamming, maxBucket)
+            state.getOption.foreach(s =>
+              state.update(s.copy(lastEventMs = lastEventMs)))
             state.setTimeoutTimestamp(
               math.max(lastEventMs + idleGapMs,
                 state.getCurrentWatermarkMs() + 1))
@@ -444,7 +458,7 @@ object StreamingKg {
     * bucket — ids ONLY, the same payload-free contract as the batch
     * operator's band rows.
     */
-  final case class BucketState(ids: List[Long])
+  final case class BucketState(ids: List[Long], lastEventMs: Long = 0L)
 
   /** Streaming MinHash-LSH near-dup CANDIDATES at ingest — the
     * incremental form of the batch `Dedup.bandedBuckets` candidate
@@ -559,8 +573,13 @@ object StreamingKg {
             Iterator.empty
           } else {
             val seq = rowsIt.toSeq
-            val lastEventMs = seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max)
+            // state-carried max event time — see exactDedupStreamEventTime
+            val lastEventMs = math.max(
+              seq.iterator.map(_._3.getTime).foldLeft(0L)(math.max),
+              state.getOption.map(_.lastEventMs).getOrElse(0L))
             val out = minhashGroup(seq.map(_._2), state, maxBucket)
+            state.getOption.foreach(s =>
+              state.update(s.copy(lastEventMs = lastEventMs)))
             state.setTimeoutTimestamp(
               math.max(lastEventMs + idleGapMs,
                 state.getCurrentWatermarkMs() + 1))

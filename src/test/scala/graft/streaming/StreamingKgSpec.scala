@@ -458,6 +458,43 @@ class StreamingKgSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time dedup horizon: a late-but-valid arrival must not shrink it") {
+    // the eviction horizon is anchored on the max event time EVER seen by
+    // the bucket (state-carried) — re-arming from the current batch alone
+    // would let a late arrival pull the timeout BACKWARD and evict while
+    // a doc inside the true horizon can still arrive
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingKg.exactDedupStreamEventTime(source.toDS(),
+        watermarkDelay = "10 minutes", idleGapMs = 60000L)
+      .toDF("doc_id", "rep_id", "is_dup")
+      .writeStream.format("memory").queryName("et_horizon")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "same", ts(600)))          // anchor at t=600s
+      q.processAllAvailable()
+      source.addData((2L, "same", ts(60)))           // LATE valid arrival
+      q.processAllAvailable()
+      // noise pushes the watermark past (late + gap) but NOT past
+      // (anchor + gap): a shrunk horizon would evict here
+      source.addData((50L, "noise a", ts(720)))
+      q.processAllAvailable()
+      source.addData((51L, "noise b", ts(780)))
+      q.processAllAvailable()
+      // within 60 s of the ANCHOR: must still be a duplicate of doc 1
+      source.addData((3L, "same", ts(640)))
+      q.processAllAvailable()
+      val rows = spark.table("et_horizon").as[(Long, Long, Boolean)].collect().toSet
+      assert(rows.contains((2L, 1L, true)))
+      assert(rows.contains((3L, 1L, true)),
+        s"late arrival shrank the horizon — bucket was evicted: $rows")
+    } finally q.stop()
+  }
+
   test("event-time minhash candidates: batch parity within the horizon, eviction beyond it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
