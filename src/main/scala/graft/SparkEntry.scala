@@ -259,6 +259,13 @@ object SparkEntry {
     "dd_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir),
       shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    // cluster resolution over the dd_minhash pair graph (same provably-
+    // exact LSH params), transitively closed by connected components:
+    // one kept representative per duplicate cluster, every unpaired doc
+    // keeps itself. DuckDB mirrors the closure with a recursive CTE.
+    "dd_cluster" -> ((s, dir) => Dedup.resolveClusters(docs(s, dir),
+      Dedup.minhashLsh(docs(s, dir),
+        shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5))),
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -302,10 +309,29 @@ object SparkEntry {
     // the composed C4/Gopher-style keep/drop decision over the oracled
     // quality + repetition signals (reasons in fixed order, comma-joined)
     "txt_curation" -> ((s, dir) => TextAnalysis.curationFilter(docs(s, dir))),
+    // deterministic domain-mix sampling at the MixRates mixture — the
+    // keep decision is integer-exact (fingerprint bucket vs millionth
+    // thresholds), so the oracle restates the same arithmetic
+    "txt_mix" -> ((s, dir) => TextAnalysis.domainSample(docs(s, dir), MixRates)),
+    // CCNet-style perplexity filter with the LM trained on the corpus
+    // itself (the self-scoring configuration): bigram add-one model as a
+    // table, scored by join-back, cross-entropy mirrored in DuckDB
+    "txt_ppl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.perplexity(d, TextAnalysis.bigramLm(d))
+    }),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
   )
+
+  /** Domain mixture for txt_mix: rates over the 20 synthetic sources in
+    * exact quarters (0, .25, .5, .75, 1 cycling by source index) — the
+    * thresholds quantize to exact millionths, so the keep decision is
+    * integer arithmetic in BOTH engines.
+    */
+  val MixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -942,6 +968,41 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
 
+    // cluster resolution: the dd_minhash exact pair set (same provable-
+    // coverage argument) transitively closed by a recursive CTE; every
+    // corpus doc left-joins the component map, cluster_id = min doc_id
+    // reachable, keep = is-own-cluster-minimum
+    "dd_cluster" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a
+        |  JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |nds AS (SELECT DISTINCT src AS nd FROM sym),
+        |reach(x, y) AS (
+        |  SELECT nd, nd FROM nds
+        |  UNION
+        |  SELECT r.x, s.dst FROM reach r JOIN sym s ON r.y = s.src
+        |),
+        |comp AS (SELECT x AS node, min(y) AS c FROM reach GROUP BY 1)
+        |SELECT doc.doc_id, COALESCE(comp.c, doc.doc_id) AS cluster_id,
+        |       doc.doc_id = COALESCE(comp.c, doc.doc_id) AS keep
+        |FROM (SELECT doc_id FROM documents) doc
+        |LEFT JOIN comp ON comp.node = doc.doc_id""".stripMargin,
+
     // graft.nlp.Hashes.simhash re-stated in SQL: fnv1a64 per word via
     // HUGEINT mod-2^64 list_reduce (exact on the ASCII corpus where
     // unicode(c) == the UTF-8 byte), then per-bit +/-1 majority vote.
@@ -1096,6 +1157,52 @@ object SparkEntry {
         |      [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(text, '')]),
         |    (h, b) -> ((h * 257 + b) % 2305843009213693951)) AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // domain-mix sampling: the txt_fingerprint rolling hash re-stated in
+    // HUGEINT SQL, bucket = fp % 1e6, keep = bucket under the domain's
+    // integer threshold (generated from the SAME MixRates map the Spark
+    // query uses — the two sides cannot drift)
+    "txt_mix" -> {
+      val cases = MixRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 1e6)}" }
+        .mkString(" ")
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |        [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(text, '')]),
+         |      (h, b) -> ((h * 257 + b) % 2305843009213693951)) AS BIGINT) % 1000000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, bucket,
+         |       bucket < (CASE source $cases ELSE 1000000 END) AS keep
+         |FROM f""".stripMargin
+    },
+
+    // perplexity filter: the add-one bigram cross-entropy re-stated in
+    // SQL — identical tokenization (single-space words, <s> sentinel),
+    // identical smoothing arithmetic (ln / the same ln2 literal, the
+    // kg_infogain precedent), identical 6dp rounding
+    "txt_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+        |),
+        |lm AS (SELECT ctx, word, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ctx_tot AS (SELECT ctx, sum(c) AS ct FROM lm GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM lm),
+        |grams AS (SELECT doc_id, n, ctx, word, count(*) AS m FROM bg GROUP BY 1, 2, 3, 4),
+        |terms AS (
+        |  SELECT g.doc_id, g.n,
+        |         g.m * (ln((lm.c + 1.0) / (ct.ct + vocab.v)) / 0.6931471805599453) AS term
+        |  FROM grams g
+        |  JOIN lm ON g.ctx = lm.ctx AND g.word = lm.word
+        |  JOIN ctx_tot ct ON ct.ctx = g.ctx
+        |  CROSS JOIN vocab
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       round(-sum(term) / n, 6) AS xent_bits
+        |FROM terms GROUP BY doc_id, n""".stripMargin,
 
     // graft.nlp.LangId.detect re-stated in SQL: stopword voting over the
     // four built-in profiles with the deterministic (-score, lang)

@@ -247,6 +247,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Dedup CLUSTER RESOLUTION — the end-game every near-dup detector
+    * feeds. Near-dup PAIRS (from [[minhashLsh]] / [[ngramJaccard]] /
+    * [[simhashPairs]], schema (a, b, ...)) are transitively closed into
+    * clusters and every corpus document gets a verdict:
+    * (doc_id, cluster_id, keep) with cluster_id = min doc_id reachable
+    * through the pair graph and keep = (doc_id == cluster_id) — one
+    * canonical representative survives per duplicate cluster, every
+    * unpaired document keeps itself. Pair detection alone under-deletes:
+    * A~B and B~C qualify while A~C falls below threshold, yet the three
+    * must still collapse to ONE kept document (the connected-components
+    * cluster step of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" §3) — this operator is that step.
+    *
+    * Scale shape: connected components (Linking.connectedComponents —
+    * neighbor-min + path halving, ONE lazy-checkpoint job per round)
+    * runs over the PAIR GRAPH ONLY, which is dup-pair-sized — orders of
+    * magnitude below the corpus on a mostly-unique corpus; the corpus
+    * pays exactly one left join against the component map (clustered
+    * docs only, broadcastable in the common case), and document text
+    * never enters the operator at all.
+    */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = Linking.connectedComponents(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Benchmark DECONTAMINATION — flag corpus documents sharing at least
     * `minHits` distinct n-gram shingles with ANY document of a benchmark
     * set (the n-gram-collision rule training-data pipelines run before

@@ -155,6 +155,124 @@ object TextAnalysis {
     * chunk-count rows, not corpus rows), and the exclusive offsets
     * rejoin by broadcast.
     */
+  /** Deterministic per-domain Bernoulli sampling — the selection half of
+    * corpus MIXING: given per-domain sampling `rates` in [0, 1] (mixture
+    * weights computed upstream, e.g. [[temperatureRates]] or a
+    * DoReMi-style optimizer), keep each document iff its rolling
+    * fingerprint falls under the domain's threshold. Output one row per
+    * document: (doc_id, source, bucket, keep).
+    *
+    * Why hash-threshold and not `sample()`: the decision is a pure
+    * function of the document text — reproducible across runs, engines
+    * and partitionings, mergeable across shards (two samples of disjoint
+    * shards ARE the sample of the union), and requires no count barrier
+    * or RNG state. Rates are quantized to integer millionths so the
+    * comparison is integer-exact cross-engine (no float-boundary flips).
+    * Domains absent from `rates` default to keep (threshold 1e6).
+    *
+    * Scale shape: one narrow map over the corpus (the fingerprint is the
+    * codegen Expression) + a broadcast join against the domain-count-
+    * sized rate table. No shuffle of corpus rows at all.
+    */
+  def domainSample(docs: DataFrame, rates: Map[String, Double],
+                   domainCol: String = "source"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq
+      .map { case (s, r) => (s, math.round(r * 1e6)) }
+      .toDF(domainCol, "thr")
+    docs.join(broadcast(thresholds), Seq(domainCol), "left")
+      .select(col("doc_id"), col(domainCol).as("source"),
+        pmod(expr("graft_fingerprint(text)"), lit(1000000L)).as("bucket"),
+        coalesce(col("thr"), lit(1000000L)).as("thr"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        (col("bucket") < col("thr")).as("keep"))
+  }
+
+  /** Temperature-scaled domain mixture rates (the standard multilingual /
+    * multi-domain rebalancing rule, e.g. mC4): sampling weight per domain
+    * ∝ share^tau renormalized, converted to per-domain Bernoulli rates
+    * that hit `targetFrac` of the corpus in expectation (capped at 1).
+    * tau = 1 keeps natural proportions, tau = 0 equalizes domains,
+    * 0 < tau < 1 upsamples the tail. Returns the model-sized
+    * (source, rate) map for [[domainSample]] — domain-count rows, the
+    * one legitimately driver-sized artifact in the mixing story.
+    */
+  def temperatureRates(docs: DataFrame, tau: Double, targetFrac: Double,
+                       domainCol: String = "source"): Map[String, Double] = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0)
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    val weights = counts.map { case (s, n) => (s, n, math.pow(n / total, tau)) }
+    val wSum = weights.map(_._3).sum
+    weights.map { case (s, n, w) =>
+      s -> math.min(1.0, targetFrac * total * (w / wSum) / n)
+    }.toMap
+  }
+
+  /** Bigram language model trained on a reference corpus — the MODEL half
+    * of the CCNet-style perplexity filter (Wenzek et al. 2020 filter
+    * corpora by LM perplexity; the reference LM there is KenLM — here it
+    * is an add-one-smoothed bigram model the engine trains itself, so the
+    * whole loop is hermetic). Rows: (ctx, word, c) with ctx = previous
+    * token or the sentinel `<s>` at position 0. The model is a TABLE (the
+    * ModelIO stance): corpus-sized vocabularies never bottleneck on a
+    * driver or a broadcast; scoring joins against it ([[perplexity]]).
+    */
+  def bigramLm(ref: DataFrame): DataFrame =
+    docBigrams(ref).groupBy("ctx", "word").agg(count(lit(1)).as("c"))
+
+  /** (doc_id, n, ctx, word) bigram rows of every document — shared by
+    * training and scoring so the two can never tokenize differently.
+    */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+        explode(expr(
+          "transform(sequence(1, size(ws)), i -> " +
+            "struct(CASE WHEN i = 1 THEN '<s>' ELSE ws[i-2] END AS ctx, ws[i-1] AS word))"))
+          .as("bg"))
+      .select(col("doc_id"), col("n"), col("bg.ctx"), col("bg.word"))
+
+  /** Per-document cross-entropy under a [[bigramLm]] model table —
+    * the scoring half of the perplexity filter. For every document:
+    * xent_bits = −(1/n) Σᵢ log₂ p(wᵢ | ctxᵢ) with add-one smoothing
+    * p(w|c) = (count(c,w) + 1) / (count(c) + V), V = model vocabulary
+    * size. Unseen words/contexts degrade gracefully (counts coalesce to
+    * 0). Output: (doc_id, n_tokens, xent_bits [rounded 6dp]) — threshold
+    * downstream (curation pipelines keep the low-perplexity head or the
+    * middle band; the cut point is a per-corpus knob, not baked in here).
+    *
+    * Scale shape: doc bigrams are consolidated per (doc_id, ctx, word)
+    * BEFORE the model join, so the join shuffles distinct-gram rows, not
+    * token rows; context totals and the vocab size derive from the model
+    * table itself (one aggregation + a 1-row broadcast cross join — no
+    * driver barrier, the InfoGain lesson); all aggregations are keyed
+    * with map-side partials. The hot-context skew (`the`, `<s>`) is the
+    * classic AQE skew-join case; at broadcastable model sizes Spark's
+    * autobroadcast removes the shuffle entirely.
+    */
+  def perplexity(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val ctxTot = lm.groupBy("ctx").agg(sum("c").as("ct"))
+    val vocab = lm.agg(countDistinct(col("word")).cast("long").as("v"))
+    val grams = docBigrams(docs)
+      .groupBy("doc_id", "n", "ctx", "word").agg(count(lit(1)).as("m"))
+    val ln2 = 0.6931471805599453
+    grams
+      .join(lm, Seq("ctx", "word"), "left")
+      .join(ctxTot, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        (col("m") * (log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ct"), lit(0L)) + col("v"))) / ln2)).as("term"))
+      .groupBy("doc_id", "n")
+      .agg(round(-sum(col("term")) / col("n"), 6).as("xent_bits"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("xent_bits"))
+  }
+
   def pack(docs: DataFrame, budget: Long, chunkSize: Long = 1L << 20): DataFrame = {
     require(budget > 0 && chunkSize > 0)
     import org.apache.spark.sql.expressions.Window

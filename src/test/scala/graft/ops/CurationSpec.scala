@@ -285,6 +285,113 @@ class CurationSpec extends SparkSpec {
       plan.contains("chunk"), s"window must partition by chunk:\n$plan")
   }
 
+  test("cluster resolution: transitive chains collapse to one keep per cluster") {
+    import spark.implicits._
+    // pair graph: 0~1, 1~2 (0~2 NOT paired — the under-threshold gap the
+    // closure must bridge) and 5~6; docs 3 and 9 are unpaired singletons
+    val docs = Seq(0L, 1L, 2L, 3L, 5L, 6L, 9L)
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.8), (5L, 6L, 0.7))
+      .toDF("a", "b", "jaccard")
+    val got = Dedup.resolveClusters(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),   // chain → one keep
+      (5L, 5L, true), (6L, 5L, false),
+      (3L, 3L, true), (9L, 9L, true)))                    // singletons keep
+  }
+
+  test("cluster resolution over minhash pairs recovers the planted clusters") {
+    import spark.implicits._
+    // corpus plants: docs 0..4 each have an exact dup (200+i) and a
+    // near dup (100+i) — resolveClusters over the verified pair graph
+    // must keep exactly one doc per planted cluster (the base id)
+    val pairs = Dedup.minhashLsh(corpus, shingleN = 3, numPerm = 64,
+      bands = 32, threshold = 0.5)
+    val out = Dedup.resolveClusters(corpus, pairs)
+      .as[(Long, Long, Boolean)].collect()
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    val byCluster = out.groupBy(_._2)
+    (0 until 5).foreach { i =>
+      // base doc, its near dup and its exact dup must land in ONE cluster
+      val cid = clusterOf(i.toLong)
+      assert(clusterOf(100L + i) == cid && clusterOf(200L + i) == cid,
+        s"planted trio $i split across clusters")
+      assert(byCluster(cid).count(_._3) == 1, "exactly one keep per cluster")
+      assert(byCluster(cid).filter(_._3).head._1 == cid,
+        "the kept doc IS the cluster id (min doc_id)")
+    }
+    // every doc appears exactly once, keeps = cluster count
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.count(_._3) == byCluster.size)
+  }
+
+  test("domain sampling: integer-threshold determinism and rate endpoints") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, s"doc number $i with words", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0) // src2 unlisted → keep
+    val out = TextAnalysis.domainSample(docs, rates)
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length == 60)
+    assert(out.filter(_._2 == "src0").forall(!_._4), "rate 0 drops all")
+    assert(out.filter(_._2 == "src1").forall(_._4), "rate 1 keeps all")
+    assert(out.filter(_._2 == "src2").forall(_._4), "unlisted defaults to keep")
+    assert(out.forall(r => r._3 >= 0L && r._3 < 1000000L), "bucket range")
+    // decision is a pure function of the text — a second run is identical
+    val again = TextAnalysis.domainSample(docs, rates)
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // fractional rate actually splits a domain (sanity at 0.5)
+    val half = TextAnalysis.domainSample(docs, Map("src0" -> 0.5))
+      .filter($"source" === "src0").as[(Long, String, Long, Boolean)].collect()
+    assert(half.exists(_._4) && half.exists(!_._4),
+      "a 0.5 rate should keep some and drop some of 20 docs")
+  }
+
+  test("temperature rates: tau=1 is natural, tau=0 equalizes, cap at 1") {
+    import spark.implicits._
+    // skewed domains: 60 / 30 / 10 docs
+    val docs = ((0 until 60).map(i => (i.toLong, "t", "big")) ++
+      (60 until 90).map(i => (i.toLong, "t", "mid")) ++
+      (90 until 100).map(i => (i.toLong, "t", "small")))
+      .toDF("doc_id", "text", "source")
+    val natural = TextAnalysis.temperatureRates(docs, tau = 1.0, targetFrac = 0.5)
+    natural.values.foreach(r => assert(math.abs(r - 0.5) < 1e-12,
+      "tau=1 keeps natural proportions: every domain sampled at targetFrac"))
+    val equal = TextAnalysis.temperatureRates(docs, tau = 0.0, targetFrac = 0.3)
+    // tau=0: expected kept docs equal per domain (0.3*100/3 = 10 each)
+    val kept = equal.map { case (s, r) =>
+      s -> r * Map("big" -> 60, "mid" -> 30, "small" -> 10)(s) }
+    kept.values.foreach(k => assert(math.abs(k - 10.0) < 1e-9, s"equalized: $kept"))
+    // cap: upsampling the tail beyond its size clips at rate 1
+    val capped = TextAnalysis.temperatureRates(docs, tau = 0.0, targetFrac = 0.9)
+    assert(capped("small") == 1.0, s"rate must cap at 1: $capped")
+  }
+
+  test("perplexity: hand-computed add-one bigram cross-entropy; OOV degrades") {
+    import spark.implicits._
+    def log2(x: Double) = math.log(x) / 0.6931471805599453
+    val ref = Seq((0L, "a b a"), (1L, "a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(ref)
+    // lm: (<s>,a)=2 (a,b)=2 (b,a)=1; ctx totals <s>=2 a=2 b=1; V=2
+    assert(lm.as[(String, String, Long)].collect().toSet ==
+      Set(("<s>", "a", 2L), ("a", "b", 2L), ("b", "a", 1L)))
+    val got = TextAnalysis.perplexity(ref, lm)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val d0 = -(log2(3.0 / 4) + log2(3.0 / 4) + log2(2.0 / 3)) / 3
+    val d1 = -(log2(3.0 / 4) * 2) / 2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((0L, 3L, r6(d0)), (1L, 2L, r6(d1))), s"got $got")
+    // OOV doc against the same LM: unseen word AND unseen context both
+    // degrade to the add-one floor, score stays finite
+    val oov = TextAnalysis.perplexity(Seq((9L, "z z")).toDF("doc_id", "text"), lm)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expected = -(log2(1.0 / 4) + log2(1.0 / 2)) / 2
+    assert(oov == Seq((9L, 2L, r6(expected))), s"got $oov")
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")
