@@ -254,15 +254,23 @@ object TextAnalysis {
     * with map-side partials. The hot-context skew (`the`, `<s>`) is the
     * classic AQE skew-join case; at broadcastable model sizes Spark's
     * autobroadcast removes the shuffle entirely.
+    *
+    * The model table is PERSISTED here (it feeds three branches — the
+    * gram join, the context totals and the vocab count; unpersisted,
+    * Catalyst recomputes the whole training explode per branch: measured
+    * 4 corpus scans instead of 2 on the self-scoring query). It is
+    * model-sized, stays cached after return, and the caller owns
+    * unpersist — the tagWithTable lifecycle contract.
     */
   def perplexity(docs: DataFrame, lm: DataFrame): DataFrame = {
-    val ctxTot = lm.groupBy("ctx").agg(sum("c").as("ct"))
-    val vocab = lm.agg(countDistinct(col("word")).cast("long").as("v"))
+    val lmP = lm.persist()
+    val ctxTot = lmP.groupBy("ctx").agg(sum("c").as("ct"))
+    val vocab = lmP.agg(countDistinct(col("word")).cast("long").as("v"))
     val grams = docBigrams(docs)
       .groupBy("doc_id", "n", "ctx", "word").agg(count(lit(1)).as("m"))
     val ln2 = 0.6931471805599453
     grams
-      .join(lm, Seq("ctx", "word"), "left")
+      .join(lmP, Seq("ctx", "word"), "left")
       .join(ctxTot, Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("n"),

@@ -390,6 +390,13 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     val expected = -(log2(1.0 / 4) + log2(1.0 / 2)) / 2
     assert(oov == Seq((9L, 2L, r6(expected))), s"got $oov")
+    // scale shape: the model table feeds three branches (gram join, ctx
+    // totals, vocab) and must come from cache, not three recomputed
+    // training explodes (measured 4 corpus scans instead of 2 unpersisted)
+    val plan = TextAnalysis.perplexity(ref, TextAnalysis.bigramLm(ref))
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 3,
+      s"lm branches must read the persisted model:\n$plan")
   }
 
   test("language-ID heuristic on real multilingual samples") {
