@@ -61,13 +61,28 @@ object SparkEntry {
       df
     })
 
-  /** Evict the per-(session, dir) grouped-mentions cache. Long-lived
-    * sessions (notebooks, streaming drivers) call this between corpora to
-    * release executor storage; Verify and Bench call it on shutdown.
+  /** One bigram LM per (session, dir) for txt_ppl: perplexity() persists
+    * the model table and leaves unpersist to the caller — without this
+    * registry every (re)run of the query would persist a fresh copy that
+    * nothing ever releases (Bench re-runs outlier queries).
+    */
+  private val lmCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lmOf(spark: SparkSession, dir: String): DataFrame =
+    lmCache.getOrElseUpdate((spark, dir),
+      ops.TextAnalysis.bigramLm(docs(spark, dir)))
+
+  /** Evict the per-(session, dir) grouped-mentions and LM caches.
+    * Long-lived sessions (notebooks, streaming drivers) call this between
+    * corpora to release executor storage; Verify and Bench call it on
+    * shutdown.
     */
   def clearCaches(): Unit = {
     groupedCache.values.foreach(_.unpersist(false))
     groupedCache.clear()
+    lmCache.values.foreach(_.unpersist(false))
+    lmCache.clear()
   }
 
   private def kgEdges(spark: SparkSession, dir: String): DataFrame =
@@ -316,10 +331,8 @@ object SparkEntry {
     // CCNet-style perplexity filter with the LM trained on the corpus
     // itself (the self-scoring configuration): bigram add-one model as a
     // table, scored by join-back, cross-entropy mirrored in DuckDB
-    "txt_ppl" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.perplexity(d, TextAnalysis.bigramLm(d))
-    }),
+    "txt_ppl" -> ((s, dir) =>
+      TextAnalysis.perplexity(docs(s, dir), lmOf(s, dir))),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))

@@ -155,6 +155,27 @@ object TextAnalysis {
     * chunk-count rows, not corpus rows), and the exclusive offsets
     * rejoin by broadcast.
     */
+  def pack(docs: DataFrame, budget: Long, chunkSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && chunkSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"),
+      floor(col("doc_id") / chunkSize).cast("long").as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = toks.withColumn("local_before",
+      coalesce(sum("tokens").over(w), lit(0L)))
+    // exclusive prefix offsets over the chunk totals — chunk-count rows
+    val wOff = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = toks.groupBy("chunk").agg(sum("tokens").as("t"))
+      .select(col("chunk"),
+        coalesce(sum("t").over(wOff), lit(0L)).as("chunk_offset"))
+    withLocal.join(broadcast(offDf), Seq("chunk"))
+      .select(col("doc_id"), col("tokens"),
+        expr("(chunk_offset + local_before) div " + budget).as("seq_id"))
+  }
+
   /** Deterministic per-domain Bernoulli sampling — the selection half of
     * corpus MIXING: given per-domain sampling `rates` in [0, 1] (mixture
     * weights computed upstream, e.g. [[temperatureRates]] or a
@@ -281,24 +302,4 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"), col("xent_bits"))
   }
 
-  def pack(docs: DataFrame, budget: Long, chunkSize: Long = 1L << 20): DataFrame = {
-    require(budget > 0 && chunkSize > 0)
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("tokens"),
-      floor(col("doc_id") / chunkSize).cast("long").as("chunk"))
-    val w = Window.partitionBy("chunk").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = toks.withColumn("local_before",
-      coalesce(sum("tokens").over(w), lit(0L)))
-    // exclusive prefix offsets over the chunk totals — chunk-count rows
-    val wOff = Window.orderBy("chunk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = toks.groupBy("chunk").agg(sum("tokens").as("t"))
-      .select(col("chunk"),
-        coalesce(sum("t").over(wOff), lit(0L)).as("chunk_offset"))
-    withLocal.join(broadcast(offDf), Seq("chunk"))
-      .select(col("doc_id"), col("tokens"),
-        expr("(chunk_offset + local_before) div " + budget).as("seq_id"))
-  }
 }
