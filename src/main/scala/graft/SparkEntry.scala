@@ -324,6 +324,17 @@ object SparkEntry {
     // the composed C4/Gopher-style keep/drop decision over the oracled
     // quality + repetition signals (reasons in fixed order, comma-joined)
     "txt_curation" -> ((s, dir) => TextAnalysis.curationFilter(docs(s, dir))),
+    // PII scrub over deterministically planted PII (the corpus is
+    // digit-free lowercase words, so the plants are the only matches —
+    // asserted impossible to collide): doc_id%4 selects e-mail / IPv4 /
+    // phone / nothing; the oracle plants identically and re-states the
+    // RE2-safe patterns verbatim
+    "txt_pii" -> ((s, dir) => TextAnalysis.piiScan(
+      docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" contact bob@mail.example.com now"))
+          .when(col("doc_id") % 4 === 1, lit(" server at 192.168.10.42 port"))
+          .when(col("doc_id") % 4 === 2, lit(" call +1 415 555 0100 today"))
+          .otherwise(lit("")))))),
     // deterministic domain-mix sampling at the MixRates mixture — the
     // keep decision is integer-exact (fingerprint bucket vs millionth
     // thresholds), so the oracle restates the same arithmetic
@@ -1170,6 +1181,28 @@ object SparkEntry {
         |      [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(text, '')]),
         |    (h, b) -> ((h * 257 + b) % 2305843009213693951)) AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // PII scrub mirror: identical plants, identical RE2-safe patterns
+    // (DuckDB regexp_* is RE2; 'g' = replace all, matching Spark's
+    // regexp_replace), identical email -> ip -> phone redaction order
+    "txt_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' contact bob@mail.example.com now'
+        |    WHEN 1 THEN ' server at 192.168.10.42 port'
+        |    WHEN 2 THEN ' call +1 415 555 0100 today'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM s""".stripMargin,
 
     // domain-mix sampling: the txt_fingerprint rolling hash re-stated in
     // HUGEINT SQL, bucket = fp % 1e6, keep = bucket under the domain's

@@ -176,6 +176,40 @@ object TextAnalysis {
         expr("(chunk_offset + local_before) div " + budget).as("seq_id"))
   }
 
+  /** PII detection + redaction — the C4-style privacy scrub every
+    * published pre-training pipeline runs before release: per document,
+    * counts of e-mail addresses, IPv4 addresses and phone-like digit
+    * runs, plus the text with each match replaced by a typed placeholder
+    * (applied email → ip → phone, so a later pattern can never match
+    * inside an earlier placeholder). Output:
+    * (doc_id, n_emails, n_ips, n_phones, redacted).
+    *
+    * The patterns are deliberately RE2-compatible (no lookaround, no
+    * backreferences, ASCII classes only) so the Java-regex engine side
+    * and the RE2-based DuckDB oracle produce identical match bounds —
+    * and so the scan stays in linear time on adversarial inputs (a
+    * backtracking-prone pattern is a CPU bomb at 100 TB).
+    *
+    * Scale shape: a pure narrow map — no shuffle, fully codegen'd
+    * column expressions.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    def count(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("bigint")
+    docs.select(col("doc_id"),
+      count(email).as("n_emails"),
+      count(ip).as("n_ips"),
+      count(phone).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "[EMAIL]"),
+          ip, "[IP]"),
+        phone, "[PHONE]").as("redacted"))
+  }
+
   /** Deterministic per-domain Bernoulli sampling — the selection half of
     * corpus MIXING: given per-domain sampling `rates` in [0, 1] (mixture
     * weights computed upstream, e.g. [[temperatureRates]] or a

@@ -399,6 +399,23 @@ class CurationSpec extends SparkSpec {
       s"lm branches must read the persisted model:\n$plan")
   }
 
+  test("PII scan: hand-planted counts, redaction order, digit-free output") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to alice@example.org or bob.smith+x@mail.co today"),
+      (2L, "host 10.0.0.1 and 192.168.100.200 respond"),
+      (3L, "call +44 20 7946 0958 or (415) 555-0100 now"),
+      (4L, "plain lowercase words only here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs).as[(Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 2L, 0L, 0L, "write to [EMAIL] or [EMAIL] today")))
+    assert(got(1) == ((2L, 0L, 2L, 0L, "host [IP] and [IP] respond")))
+    assert((got(2)._2, got(2)._3, got(2)._4) == ((0L, 0L, 2L)))
+    assert(!got(2)._5.exists(_.isDigit), s"digits survived: ${got(2)._5}")
+    assert(got(3) == ((4L, 0L, 0L, 0L, "plain lowercase words only here")))
+  }
+
   test("language-ID heuristic on real multilingual samples") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog and it is fine") == "en")
     assert(LangId.detect("der Hund ist nicht mit der Katze und das ist ein Problem") == "de")

@@ -149,4 +149,44 @@ class RobustnessSpec extends SparkSpec {
     assert(rep(1L) == ((0L, 0L, 0.0, 0.0)))
     assert(rep(2L) == ((4L, 0L, 0.0, 0.0)))
   }
+
+  test("cluster resolution / sampling / perplexity / packing degenerate inputs") {
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // no pairs: every doc keeps itself; empty corpus: no rows
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.resolveClusters(one, noPairs)
+      .as[(Long, Long, Boolean)].collect().toSeq == Seq((1L, 1L, true)))
+    assert(Dedup.resolveClusters(none, noPairs).count() == 0)
+    // pairs over docs absent from the corpus must not invent rows
+    val ghost = Seq((7L, 8L)).toDF("a", "b")
+    assert(Dedup.resolveClusters(one, ghost)
+      .as[(Long, Long, Boolean)].collect().toSeq == Seq((1L, 1L, true)))
+    // sampling: empty rates map -> default keep; empty corpus -> empty
+    val docs1 = Seq((1L, "alpha beta", "s")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.domainSample(docs1, Map.empty)
+      .as[(Long, String, Long, Boolean)].collect().forall(_._4))
+    assert(TextAnalysis.domainSample(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      Map("s" -> 0.5)).count() == 0)
+    // perplexity: empty scoring set; a single-token doc scores on the
+    // <s> bigram alone and stays finite/positive
+    val lm = TextAnalysis.bigramLm(one)
+    assert(TextAnalysis.perplexity(none, lm).count() == 0)
+    val solo = TextAnalysis.perplexity(
+      Seq((9L, "alpha")).toDF("doc_id", "text"), lm)
+      .as[(Long, Long, Double)].collect()
+    assert(solo.length == 1 && solo.head._2 == 1L &&
+      solo.head._3 > 0.0 && !solo.head._3.isInfinite)
+    // packing: empty and single-doc corpora
+    assert(TextAnalysis.pack(none, 10).count() == 0)
+    assert(TextAnalysis.pack(one, 10)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    // PII scan on empty / PII-free input
+    assert(TextAnalysis.piiScan(none).count() == 0)
+    assert(TextAnalysis.piiScan(one)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq ==
+      Seq((1L, 0L, 0L, 0L, "alpha beta")))
+  }
 }
