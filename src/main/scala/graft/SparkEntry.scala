@@ -73,6 +73,15 @@ object SparkEntry {
     lmCache.getOrElseUpdate((spark, dir),
       ops.TextAnalysis.bigramLm(docs(spark, dir)))
 
+  /** Target-domain (lang='en') bigram LM for txt_dsir — same registry
+    * and lifecycle as [[lmOf]]; the "#target" key suffix cannot collide
+    * with a filesystem dir.
+    */
+  private def targetLmOf(spark: SparkSession, dir: String): DataFrame =
+    lmCache.getOrElseUpdate((spark, dir + "#target"),
+      ops.TextAnalysis.bigramLm(
+        docs(spark, dir).where(col("lang") === "en")))
+
   /** Evict the per-(session, dir) grouped-mentions and LM caches.
     * Long-lived sessions (notebooks, streaming drivers) call this between
     * corpora to release executor storage; Verify and Bench call it on
@@ -344,6 +353,13 @@ object SparkEntry {
     // table, scored by join-back, cross-entropy mirrored in DuckDB
     "txt_ppl" -> ((s, dir) =>
       TextAnalysis.perplexity(docs(s, dir), lmOf(s, dir))),
+    // DSIR-style importance weighting: per-doc log-likelihood ratio in
+    // bits between the lang='en' target-domain bigram LM and the raw
+    // corpus LM (both engine-trained tables); smoothing + llr arithmetic
+    // mirrored in DuckDB
+    "txt_dsir" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(docs(s, dir), targetLmOf(s, dir),
+        lmOf(s, dir))),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
@@ -1248,6 +1264,46 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         |       round(-sum(term) / n, 6) AS xent_bits
+        |FROM terms GROUP BY doc_id, n""".stripMargin,
+
+    // DSIR importance weight: the same add-one bigram arithmetic TWICE
+    // (target = lang='en' docs, raw = full corpus), per-gram term =
+    // m·(ln p_t − ln p_r)/ln2; LEFT JOIN + COALESCE so grams missing
+    // from the target model degrade to the add-one floor exactly as the
+    // engine's full-outer-merged model does
+    "txt_dsir" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+        |),
+        |tbg AS (
+        |  SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en') s,
+        |       UNNEST(generate_series(1, len(w))) AS t(i)
+        |),
+        |tlm AS (SELECT ctx, word, count(*) AS c FROM tbg GROUP BY 1, 2),
+        |rlm AS (SELECT ctx, word, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tctx AS (SELECT ctx, sum(c) AS ct FROM tlm GROUP BY 1),
+        |rctx AS (SELECT ctx, sum(c) AS ct FROM rlm GROUP BY 1),
+        |vocab AS (SELECT (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM tlm) AS v_t,
+        |                 (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM rlm) AS v_r),
+        |grams AS (SELECT doc_id, n, ctx, word, count(*) AS m FROM bg GROUP BY 1, 2, 3, 4),
+        |terms AS (
+        |  SELECT g.doc_id, g.n,
+        |         g.m * ((ln((COALESCE(t.c, 0) + 1.0) / (COALESCE(tc.ct, 0) + vocab.v_t))
+        |               - ln((COALESCE(r.c, 0) + 1.0) / (COALESCE(rc.ct, 0) + vocab.v_r)))
+        |               / 0.6931471805599453) AS term
+        |  FROM grams g
+        |  LEFT JOIN tlm t ON g.ctx = t.ctx AND g.word = t.word
+        |  LEFT JOIN tctx tc ON tc.ctx = g.ctx
+        |  LEFT JOIN rlm r ON g.ctx = r.ctx AND g.word = r.word
+        |  LEFT JOIN rctx rc ON rc.ctx = g.ctx
+        |  CROSS JOIN vocab
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       round(sum(term) / n, 6) AS llr_bits
         |FROM terms GROUP BY doc_id, n""".stripMargin,
 
     // graft.nlp.LangId.detect re-stated in SQL: stopword voting over the

@@ -336,4 +336,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"), col("xent_bits"))
   }
 
+  /** DSIR-style importance weight per document (Xie et al. 2023 select
+    * pretraining data by the likelihood ratio between a TARGET-domain
+    * model and a RAW-corpus model; their features are hashed n-grams —
+    * here both models are the engine's own add-one [[bigramLm]] tables,
+    * so the whole loop stays hermetic). For every document:
+    * llr_bits = (1/n) Σᵢ log₂ (p_target(wᵢ|ctxᵢ) / p_raw(wᵢ|ctxᵢ))
+    * — the per-token log-likelihood ratio in bits, equivalently
+    * xent_raw − xent_target. Positive ⇒ the doc looks more like the
+    * target domain than the background corpus; resampling keeps the
+    * high-llr head (the cut point / resampling temperature is a
+    * downstream knob, the [[perplexity]] stance). Output:
+    * (doc_id, n_tokens, llr_bits [rounded 6dp]).
+    *
+    * Scale shape: the two model tables merge FIRST — a full outer join
+    * on (ctx, word) and one on ctx, both model-sized — so the
+    * corpus-gram table pays exactly [[perplexity]]'s plan (one
+    * consolidation, one (ctx, word) join, one ctx join, a 1-row
+    * broadcast cross join for the two vocab sizes), NOT four chained
+    * joins; grams unseen by either model coalesce to the add-one floor,
+    * so disjoint reference corpora are handled, not assumed away. Both
+    * models are persisted here (each feeds three branches: the merge,
+    * the context totals, the vocab count); they are model-sized and the
+    * caller owns unpersist — the tagWithTable lifecycle contract.
+    */
+  def importanceWeights(docs: DataFrame, targetLm: DataFrame,
+                        rawLm: DataFrame): DataFrame = {
+    val tP = targetLm.persist()
+    val rP = rawLm.persist()
+    val lmBoth = tP.select(col("ctx"), col("word"), col("c").as("c_t"))
+      .join(rP.select(col("ctx"), col("word"), col("c").as("c_r")),
+        Seq("ctx", "word"), "full")
+    val ctxBoth = tP.groupBy("ctx").agg(sum("c").as("ct_t"))
+      .join(rP.groupBy("ctx").agg(sum("c").as("ct_r")), Seq("ctx"), "full")
+    val vocab = tP.agg(countDistinct(col("word")).cast("long").as("v_t"))
+      .crossJoin(rP.agg(countDistinct(col("word")).cast("long").as("v_r")))
+    val grams = docBigrams(docs)
+      .groupBy("doc_id", "n", "ctx", "word").agg(count(lit(1)).as("m"))
+    val ln2 = 0.6931471805599453
+    val pT = (coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("ct_t"), lit(0L)) + col("v_t"))
+    val pR = (coalesce(col("c_r"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("ct_r"), lit(0L)) + col("v_r"))
+    grams
+      .join(lmBoth, Seq("ctx", "word"), "left")
+      .join(ctxBoth, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        (col("m") * ((log(pT) - log(pR)) / ln2)).as("term"))
+      .groupBy("doc_id", "n")
+      .agg(round(sum(col("term")) / col("n"), 6).as("llr_bits"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("llr_bits"))
+  }
+
 }

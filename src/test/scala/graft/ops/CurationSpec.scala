@@ -399,6 +399,36 @@ class CurationSpec extends SparkSpec {
       s"lm branches must read the persisted model:\n$plan")
   }
 
+  test("importance weights: hand-computed llr, zero under identical models") {
+    import spark.implicits._
+    def log2(x: Double) = math.log(x) / 0.6931471805599453
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = Seq((0L, "a b a"), (1L, "a b")).toDF("doc_id", "text")
+    val target = Seq((1L, "a b")).toDF("doc_id", "text")
+    // target lm: (<s>,a)=1 (a,b)=1; ctx totals <s>=1 a=1; V_t=2
+    // raw lm: (<s>,a)=2 (a,b)=2 (b,a)=1; ctx totals <s>=2 a=2 b=1; V_r=2
+    val got = TextAnalysis.importanceWeights(raw,
+        TextAnalysis.bigramLm(target), TextAnalysis.bigramLm(raw))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val seen = log2(2.0 / 3) - log2(3.0 / 4)       // gram in both models
+    val oov = log2(1.0 / 2) - log2(2.0 / 3)        // (b,a): target add-one floor
+    assert(got == Seq((0L, 3L, r6((2 * seen + oov) / 3)),
+                      (1L, 2L, r6(seen))), s"got $got")
+    // identical models ⇒ every per-gram log ratio is EXACTLY 0.0
+    val same = TextAnalysis.bigramLm(raw)
+    val zero = TextAnalysis.importanceWeights(raw, same, same)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(zero.forall(_._3 == 0.0), s"identical models must give llr 0: $zero")
+    // scale shape: BOTH persisted model tables feed three branches each
+    // (the full-outer gram merge, the context totals, the vocab count) —
+    // all six branches must read cache, not recomputed training explodes
+    val plan = TextAnalysis.importanceWeights(raw,
+        TextAnalysis.bigramLm(target), TextAnalysis.bigramLm(raw))
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 6,
+      s"model branches must read the persisted tables:\n$plan")
+  }
+
   test("PII scan: hand-planted counts, redaction order, digit-free output") {
     import spark.implicits._
     val docs = Seq(

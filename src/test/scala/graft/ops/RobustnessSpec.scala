@@ -183,6 +183,16 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.pack(none, 10).count() == 0)
     assert(TextAnalysis.pack(one, 10)
       .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    // importance weights: empty scoring set -> no rows; a doc fully OOV
+    // against the TARGET model degrades to the add-one floor (finite,
+    // well-defined llr) instead of blowing up
+    val tgtLm = TextAnalysis.bigramLm(
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"))
+    assert(TextAnalysis.importanceWeights(none, tgtLm, lm).count() == 0)
+    val w = TextAnalysis.importanceWeights(one, tgtLm, lm)
+      .as[(Long, Long, Double)].collect()
+    assert(w.length == 1 && !w.head._3.isInfinite && !w.head._3.isNaN,
+      s"target-OOV doc must stay finite: ${w.toSeq}")
     // PII scan on empty / PII-free input
     assert(TextAnalysis.piiScan(none).count() == 0)
     assert(TextAnalysis.piiScan(one)
