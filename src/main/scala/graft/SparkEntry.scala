@@ -360,6 +360,16 @@ object SparkEntry {
     "txt_dsir" -> ((s, dir) =>
       TextAnalysis.importanceWeights(docs(s, dir), targetLmOf(s, dir),
         lmOf(s, dir))),
+    // CCNet head/middle/tail banding: per-language EXACT perplexity
+    // tertiles (integer cum*3 >= n arithmetic over the value histogram,
+    // the pack() prefix-sum idiom — no per-language single-task sort)
+    "txt_band" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.perplexityBands(
+        TextAnalysis.perplexity(d, lmOf(s, dir))
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("xent_bits")))
+    }),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
@@ -1305,6 +1315,48 @@ object SparkEntry {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         |       round(sum(term) / n, 6) AS llr_bits
         |FROM terms GROUP BY doc_id, n""".stripMargin,
+
+    // CCNet banding: the txt_ppl cross-entropy joined with lang, then
+    // per-language tertile cutoffs from the SAME integer rule the engine
+    // uses (c_i = min xent with cum*3 >= i*n over the ascending value
+    // histogram); the 6dp-rounded xent values hash-match between engines
+    // (txt_ppl), so the <= comparisons are safe
+    "txt_band" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+        |),
+        |lm AS (SELECT ctx, word, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ctx_tot AS (SELECT ctx, sum(c) AS ct FROM lm GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM lm),
+        |grams AS (SELECT doc_id, n, ctx, word, count(*) AS m FROM bg GROUP BY 1, 2, 3, 4),
+        |terms AS (
+        |  SELECT g.doc_id, g.n,
+        |         g.m * (ln((lm.c + 1.0) / (ct.ct + vocab.v)) / 0.6931471805599453) AS term
+        |  FROM grams g
+        |  JOIN lm ON g.ctx = lm.ctx AND g.word = lm.word
+        |  JOIN ctx_tot ct ON ct.ctx = g.ctx
+        |  CROSS JOIN vocab
+        |),
+        |ppl AS (SELECT doc_id, round(-sum(term) / n, 6) AS xent_bits
+        |        FROM terms GROUP BY doc_id, n),
+        |scored AS (SELECT p.doc_id, d.lang, p.xent_bits
+        |           FROM ppl p JOIN documents d USING (doc_id)),
+        |cum AS (SELECT lang, xent_bits,
+        |          sum(count(*)) OVER (PARTITION BY lang ORDER BY xent_bits) AS cum,
+        |          sum(count(*)) OVER (PARTITION BY lang) AS n
+        |        FROM scored GROUP BY 1, 2),
+        |cuts AS (SELECT lang,
+        |           min(CASE WHEN cum * 3 >= n THEN xent_bits END) AS c1,
+        |           min(CASE WHEN cum * 3 >= 2 * n THEN xent_bits END) AS c2
+        |         FROM cum GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.xent_bits,
+        |       CASE WHEN s.xent_bits <= c.c1 THEN 'head'
+        |            WHEN s.xent_bits <= c.c2 THEN 'middle'
+        |            ELSE 'tail' END AS band
+        |FROM scored s JOIN cuts c USING (lang)""".stripMargin,
 
     // graft.nlp.LangId.detect re-stated in SQL: stopword voting over the
     // four built-in profiles with the deterministic (-score, lang)

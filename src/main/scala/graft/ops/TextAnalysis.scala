@@ -389,4 +389,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"), col("llr_bits"))
   }
 
+  /** CCNet head/middle/tail banding (Wenzek et al. 2020 split each
+    * language's corpus into perplexity tertiles and keep the head/middle
+    * bands): every (doc_id, lang, xent_bits) row gets a `band` from
+    * EXACT per-language tertile cutoffs — c1 = min xent with
+    * cum·3 ≥ n, c2 = min xent with cum·3 ≥ 2n over the ascending
+    * per-language cumulative doc count (integer arithmetic, no
+    * floating-point quantile estimate); band = head if xent ≤ c1,
+    * middle if ≤ c2, else tail. Ties share a band by construction.
+    *
+    * Scale shape: exact per-group order statistics WITHOUT a
+    * single-task-per-language sort — the per-language cumulative count
+    * is the [[pack]] distributed prefix sum applied to the
+    * (lang, xent) value histogram: per-(lang, chunk) partitioned
+    * running sums (chunk = ⌊xent·100⌋, order-preserving), per-chunk
+    * totals whose exclusive offsets come from a window over
+    * chunk-count rows (never corpus rows), offsets rejoined by
+    * broadcast. The histogram itself is a keyed aggregation with
+    * map-side partials; the cutoff table is one row per language and
+    * broadcasts back onto the corpus — the only corpus-wide operations
+    * are the histogram groupBy and that broadcast join.
+    */
+  def perplexityBands(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy("lang", "xent_bits").agg(count(lit(1)).as("k"))
+      .withColumn("chunk", floor(col("xent_bits") * 100).cast("long"))
+    val wLoc = Window.partitionBy("lang", "chunk").orderBy("xent_bits")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = hist.withColumn("local_cum", sum("k").over(wLoc))
+    val wOff = Window.partitionBy("lang").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.groupBy("lang", "chunk").agg(sum("k").as("t"))
+      .select(col("lang"), col("chunk"),
+        coalesce(sum("t").over(wOff), lit(0L)).as("off"))
+    val nTot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cuts = local.join(broadcast(offs), Seq("lang", "chunk"))
+      .withColumn("cum", col("off") + col("local_cum"))
+      .join(broadcast(nTot), Seq("lang"))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("xent_bits"))).as("c1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("xent_bits"))).as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("xent_bits"),
+        when(col("xent_bits") <= col("c1"), lit("head"))
+          .when(col("xent_bits") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+  }
+
 }

@@ -429,6 +429,45 @@ class CurationSpec extends SparkSpec {
       s"model branches must read the persisted tables:\n$plan")
   }
 
+  test("perplexity bands: exact tertiles with ties; prefix-sum == naive scan") {
+    import spark.implicits._
+    // lang A: nine distinct xents 1..9 → c1=3 c2=6 → three exact thirds;
+    // lang B: ties at the head boundary (1,1,2,3; n=4) → c1=1 (cum(1)=2,
+    // 2·3 ≥ 4) so BOTH tied docs band head, c2=2 → middle={2}, tail={3}
+    val scored = ((1 to 9).map(i => (i.toLong, "A", i.toDouble)) ++
+      Seq((10L, "B", 1.0), (11L, "B", 1.0), (12L, "B", 2.0), (13L, "B", 3.0)))
+      .toDF("doc_id", "lang", "xent_bits")
+    val got = TextAnalysis.perplexityBands(scored)
+      .as[(Long, String, Double, String)].collect().map(r => r._1 -> r._4).toMap
+    val expA = Map(1L -> "head", 2L -> "head", 3L -> "head", 4L -> "middle",
+      5L -> "middle", 6L -> "middle", 7L -> "tail", 8L -> "tail", 9L -> "tail")
+    val expB = Map(10L -> "head", 11L -> "head", 12L -> "middle", 13L -> "tail")
+    assert(got == expA ++ expB, s"got $got")
+    // randomized parity vs a naive per-lang sorted scan, with values
+    // spaced so MULTIPLE distinct xents share one ⌊x·100⌋ chunk (the
+    // distributed prefix sum's offsets path is genuinely exercised)
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 60L).map(i =>
+      (i, s"L${i % 3}", (rng.nextInt(20) + 1) / 1000.0))
+    val ref = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val n = g.size
+      val vs = g.map(_._3).sorted
+      val cut = (k: Int) => vs.distinct.find(v => vs.count(_ <= v) * 3 >= k * n).get
+      val (c1, c2) = (cut(1), cut(2))
+      g.map(r => r._1 -> (if (r._3 <= c1) "head"
+                          else if (r._3 <= c2) "middle" else "tail"))
+    }
+    val big = TextAnalysis.perplexityBands(rows.toDF("doc_id", "lang", "xent_bits"))
+      .as[(Long, String, Double, String)].collect().map(r => r._1 -> r._4).toMap
+    assert(big == ref, s"prefix-sum bands diverge from the naive scan")
+    // scale shape: every corpus-histogram window is partitioned by
+    // (lang, chunk) — the only lang-partitioned window runs over
+    // chunk-count rows, never a per-language corpus sort
+    val plan = TextAnalysis.perplexityBands(scored)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("chunk"), s"chunked prefix sum missing:\n$plan")
+  }
+
   test("PII scan: hand-planted counts, redaction order, digit-free output") {
     import spark.implicits._
     val docs = Seq(
