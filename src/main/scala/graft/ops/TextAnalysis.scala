@@ -409,11 +409,25 @@ object TextAnalysis {
     * map-side partials; the cutoff table is one row per language and
     * broadcasts back onto the corpus — the only corpus-wide operations
     * are the histogram groupBy and that broadcast join.
+    *
+    * `scored` feeds TWO branches (the histogram and the final band
+    * join) and is typically an expensive subtree (the [[perplexity]]
+    * model join), so it is lazily local-checkpointed here — the first
+    * action materializes it once and both branches read the cache (the
+    * kg_mention_eval lesson: unpersisted multi-branch inputs recompute
+    * per branch). Per-language totals derive from the histogram, never
+    * from a third corpus pass.
     */
   def perplexityBands(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = scored.groupBy("lang", "xent_bits").agg(count(lit(1)).as("k"))
+    val sP = scored.localCheckpoint(false)
+    // the histogram itself feeds three branches (running sums, chunk
+    // totals, language totals) — cache it too; both checkpoints are
+    // LAZY so the single consuming action materializes them in its own
+    // job (no extra barriers)
+    val hist = sP.groupBy("lang", "xent_bits").agg(count(lit(1)).as("k"))
       .withColumn("chunk", floor(col("xent_bits") * 100).cast("long"))
+      .localCheckpoint(false)
     val wLoc = Window.partitionBy("lang", "chunk").orderBy("xent_bits")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = hist.withColumn("local_cum", sum("k").over(wLoc))
@@ -422,14 +436,14 @@ object TextAnalysis {
     val offs = hist.groupBy("lang", "chunk").agg(sum("k").as("t"))
       .select(col("lang"), col("chunk"),
         coalesce(sum("t").over(wOff), lit(0L)).as("off"))
-    val nTot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val nTot = hist.groupBy("lang").agg(sum("k").as("n"))
     val cuts = local.join(broadcast(offs), Seq("lang", "chunk"))
       .withColumn("cum", col("off") + col("local_cum"))
       .join(broadcast(nTot), Seq("lang"))
       .groupBy("lang")
       .agg(min(when(col("cum") * 3 >= col("n"), col("xent_bits"))).as("c1"),
         min(when(col("cum") * 3 >= col("n") * 2, col("xent_bits"))).as("c2"))
-    scored.join(broadcast(cuts), Seq("lang"))
+    sP.join(broadcast(cuts), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("xent_bits"),
         when(col("xent_bits") <= col("c1"), lit("head"))
           .when(col("xent_bits") <= col("c2"), lit("middle"))

@@ -193,6 +193,10 @@ class RobustnessSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(w.length == 1 && !w.head._3.isInfinite && !w.head._3.isNaN,
       s"target-OOV doc must stay finite: ${w.toSeq}")
+    // perplexity banding on an empty scored set -> no rows, no throw
+    assert(TextAnalysis.perplexityBands(
+      Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "xent_bits"))
+      .count() == 0)
     // PII scan on empty / PII-free input
     assert(TextAnalysis.piiScan(none).count() == 0)
     assert(TextAnalysis.piiScan(one)
