@@ -1218,17 +1218,24 @@ object SparkEntry {
         |    WHEN 1 THEN ' server at 192.168.10.42 port'
         |    WHEN 2 THEN ' call +1 415 555 0100 today'
         |    ELSE '' END AS text
-        |  FROM documents)
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    COALESCE(text, '') AS t0,
+        |    regexp_replace(COALESCE(text, ''),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM s),
+        |r2 AS (
+        |  SELECT doc_id, t0, t1,
+        |    regexp_replace(t1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS t2
+        |  FROM r)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
-        |FROM s""".stripMargin,
+        |  CAST(len(regexp_extract_all(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM r2""".stripMargin,
 
     // domain-mix sampling: the txt_fingerprint rolling hash re-stated in
     // HUGEINT SQL, bucket = fp % 1e6, keep = bucket under the domain's

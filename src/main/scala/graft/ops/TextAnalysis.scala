@@ -197,17 +197,21 @@ object TextAnalysis {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-    def count(re: String) =
-      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("bigint")
+    def n(c: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("bigint")
+    // each count runs on the text AFTER the earlier redactions, so the
+    // counts describe exactly the placeholders present in `redacted`
+    // (e.g. the digits of an e-mail local part are [EMAIL] by the time
+    // the phone pattern runs — they must not ALSO count as a phone);
+    // NULL text scans as empty (0 counts, "" redacted) in both engines
+    val t0 = coalesce(col("text"), lit(""))
+    val t1 = regexp_replace(t0, email, "[EMAIL]")
+    val t2 = regexp_replace(t1, ip, "[IP]")
     docs.select(col("doc_id"),
-      count(email).as("n_emails"),
-      count(ip).as("n_ips"),
-      count(phone).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), email, "[EMAIL]"),
-          ip, "[IP]"),
-        phone, "[PHONE]").as("redacted"))
+      n(t0, email).as("n_emails"),
+      n(t1, ip).as("n_ips"),
+      n(t2, phone).as("n_phones"),
+      regexp_replace(t2, phone, "[PHONE]").as("redacted"))
   }
 
   /** Deterministic per-domain Bernoulli sampling — the selection half of
@@ -412,22 +416,26 @@ object TextAnalysis {
     *
     * `scored` feeds TWO branches (the histogram and the final band
     * join) and is typically an expensive subtree (the [[perplexity]]
-    * model join), so it is lazily local-checkpointed here — the first
-    * action materializes it once and both branches read the cache (the
-    * kg_mention_eval lesson: unpersisted multi-branch inputs recompute
-    * per branch). Per-language totals derive from the histogram, never
-    * from a third corpus pass.
+    * model join), so it is lazily local-checkpointed here and
+    * materialized exactly once by the EAGER histogram checkpoint below
+    * (the kg_mention_eval lesson: unpersisted multi-branch inputs
+    * recompute per branch, and lazily-cached inputs race when consumed
+    * by concurrently-materialized branches). Per-language totals derive
+    * from the histogram, never from a third corpus pass.
     */
   def perplexityBands(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sP = scored.localCheckpoint(false)
-    // the histogram itself feeds three branches (running sums, chunk
-    // totals, language totals) — cache it too; both checkpoints are
-    // LAZY so the single consuming action materializes them in its own
-    // job (no extra barriers)
+    // the histogram feeds three branches, two of them BROADCAST
+    // exchanges that materialize on separate driver threads — the
+    // concurrent-consumption case where a lazy checkpoint races (the
+    // kg_mention_eval eager-toks lesson). Checkpoint it EAGERLY: the
+    // one up-front job materializes the lazily-checkpointed sP in the
+    // same pass (sequentially, no race), the histogram itself is
+    // value-cardinality-sized, and every downstream branch reads cache
     val hist = sP.groupBy("lang", "xent_bits").agg(count(lit(1)).as("k"))
       .withColumn("chunk", floor(col("xent_bits") * 100).cast("long"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val wLoc = Window.partitionBy("lang", "chunk").orderBy("xent_bits")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = hist.withColumn("local_cum", sum("k").over(wLoc))

@@ -483,6 +483,16 @@ class CurationSpec extends SparkSpec {
     assert((got(2)._2, got(2)._3, got(2)._4) == ((0L, 0L, 2L)))
     assert(!got(2)._5.exists(_.isDigit), s"digits survived: ${got(2)._5}")
     assert(got(3) == ((4L, 0L, 0L, 0L, "plain lowercase words only here")))
+    // counts describe the REDACTED text: a digit-run inside an e-mail
+    // local part is [EMAIL] by the time the phone pattern runs, so it
+    // must not double-count as a phone; NULL text scans as empty
+    val tricky = Seq((5L, "reach me at 12345678@mail.com ok"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val t = TextAnalysis.piiScan(tricky).as[(Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(t(0) == ((5L, 1L, 0L, 0L, "reach me at [EMAIL] ok")),
+      s"email digits double-counted as phone: ${t(0)}")
+    assert(t(1) == ((6L, 0L, 0L, 0L, "")), s"null text: ${t(1)}")
   }
 
   test("language-ID heuristic on real multilingual samples") {
