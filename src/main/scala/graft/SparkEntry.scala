@@ -348,6 +348,10 @@ object SparkEntry {
     // keep decision is integer-exact (fingerprint bucket vs millionth
     // thresholds), so the oracle restates the same arithmetic
     "txt_mix" -> ((s, dir) => TextAnalysis.domainSample(docs(s, dir), MixRates)),
+    // per-domain unigram KL drift vs the corpus distribution — exact
+    // (domain support ⊆ corpus support, no smoothing), same p·log₂ ratio
+    // arithmetic in DuckDB
+    "txt_kl" -> ((s, dir) => TextAnalysis.domainKl(docs(s, dir))),
     // CCNet-style perplexity filter with the LM trained on the corpus
     // itself (the self-scoring configuration): bigram add-one model as a
     // table, scored by join-back, cross-entropy mirrored in DuckDB
@@ -1236,6 +1240,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
         |  regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
         |FROM r2""".stripMargin,
+
+    // per-domain unigram KL drift: identical ratio arithmetic — DuckDB's
+    // `/` on integers yields DOUBLE exactly like Spark's on longs, and
+    // both sides round the per-domain sum once at 6dp
+    "txt_kl" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1),
+        |cw AS (SELECT word, sum(c_sw) AS c_cw FROM sw GROUP BY 1),
+        |n AS (SELECT sum(c_sw) AS n_c FROM sw)
+        |SELECT sw.source, CAST(s.n_s AS BIGINT) AS n_words,
+        |       round(sum((sw.c_sw / s.n_s) *
+        |                 (ln((sw.c_sw / s.n_s) / (cw.c_cw / n.n_c))
+        |                  / 0.6931471805599453)), 6) AS kl_bits
+        |FROM sw JOIN s USING (source) JOIN cw USING (word) CROSS JOIN n
+        |GROUP BY 1, 2""".stripMargin,
 
     // domain-mix sampling: the txt_fingerprint rolling hash re-stated in
     // HUGEINT SQL, bucket = fp % 1e6, keep = bucket under the domain's

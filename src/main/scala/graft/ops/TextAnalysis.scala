@@ -272,6 +272,47 @@ object TextAnalysis {
     }.toMap
   }
 
+  /** Per-domain unigram KL divergence from the whole-corpus word
+    * distribution — the drift diagnostic of a mixing pipeline (how far
+    * each source's language deviates from the mixture that
+    * [[temperatureRates]]/[[domainSample]] produce; rising KL on a
+    * domain is the standard signal that its share or its content
+    * changed). KL(p_s ‖ p_c) = Σ_w p_s(w)·log₂(p_s(w)/p_c(w)) is EXACT
+    * with no smoothing: every word of a domain is in the corpus by
+    * construction (domain ⊆ corpus), and absent words contribute 0 by
+    * the p·log p convention. Output: (source, n_words, kl_bits
+    * [rounded 6dp]); kl_bits ≥ 0, and ≡ 0 for a single-domain corpus.
+    *
+    * Scale shape: ONE corpus pass builds the (source, word) count table
+    * (keyed aggregation, map-side partials), checkpointed EAGERLY
+    * because its four consumers include broadcast exchanges (the
+    * [[perplexityBands]] concurrency lesson); domain totals, corpus
+    * word counts and the grand total all DERIVE from that table —
+    * domain-count- / vocab- / 1-row-sized respectively, never a second
+    * corpus scan. The per-word join is keyed on `word` with the tiny
+    * domain-totals table broadcast.
+    */
+  def domainKl(docs: DataFrame): DataFrame = {
+    val sw = docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val s = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val cw = sw.groupBy("word").agg(sum("c_sw").as("c_cw"))
+    val n = sw.agg(sum("c_sw").as("n_c"))
+    val ln2 = 0.6931471805599453
+    sw.join(cw, Seq("word"))
+      .join(broadcast(s), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        ((col("c_sw") / col("n_s")) *
+          (log((col("c_sw") / col("n_s")) / (col("c_cw") / col("n_c"))) / ln2))
+          .as("term"))
+      .groupBy("source", "n_s")
+      .agg(round(sum("term"), 6).as("kl_bits"))
+      .select(col("source"), col("n_s").cast("long").as("n_words"),
+        col("kl_bits"))
+  }
+
   /** Bigram language model trained on a reference corpus — the MODEL half
     * of the CCNet-style perplexity filter (Wenzek et al. 2020 filter
     * corpora by LM perplexity; the reference LM there is KenLM — here it

@@ -429,6 +429,36 @@ class CurationSpec extends SparkSpec {
       s"model branches must read the persisted tables:\n$plan")
   }
 
+  test("domain KL: hand-computed divergence, exact zero on one domain, nonneg") {
+    import spark.implicits._
+    def log2(x: Double) = math.log(x) / 0.6931471805599453
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a×3 b×2 (n_c=5); x: a2 b1 (n_s=3); y: a1 b1 (n_s=2)
+    val docs = Seq((1L, "a a b", "x"), (2L, "a b", "y"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainKl(docs)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val klX = (2.0 / 3) * log2((2.0 / 3) / (3.0 / 5)) +
+      (1.0 / 3) * log2((1.0 / 3) / (2.0 / 5))
+    val klY = (1.0 / 2) * log2((1.0 / 2) / (3.0 / 5)) +
+      (1.0 / 2) * log2((1.0 / 2) / (2.0 / 5))
+    assert(got == Seq(("x", 3L, r6(klX)), ("y", 2L, r6(klY))), s"got $got")
+    // one domain ⇒ p_s == p_c per word ⇒ every log ratio is EXACTLY 0.0
+    val single = TextAnalysis.domainKl(
+      Seq((1L, "a a b c", "only"), (2L, "b c", "only"))
+        .toDF("doc_id", "text", "source"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(single == Seq(("only", 6L, 0.0)), s"got $single")
+    // KL is non-negative on arbitrary mixtures (Gibbs); 6dp rounding of
+    // a tiny positive value may yield 0.0 but never below
+    val rng = new scala.util.Random(13)
+    val rand = (0L until 40L).map(i => (i,
+      Vector.fill(3 + rng.nextInt(5))(('a' + rng.nextInt(4)).toChar.toString)
+        .mkString(" "), s"s${i % 4}")).toDF("doc_id", "text", "source")
+    val kls = TextAnalysis.domainKl(rand).as[(String, Long, Double)].collect()
+    assert(kls.length == 4 && kls.forall(_._3 >= 0.0), s"negative KL: ${kls.toSeq}")
+  }
+
   test("perplexity bands: exact tertiles with ties; prefix-sum == naive scan") {
     import spark.implicits._
     // lang A: nine distinct xents 1..9 → c1=3 c2=6 → three exact thirds;
