@@ -290,6 +290,18 @@ object SparkEntry {
     "dd_cluster" -> ((s, dir) => Dedup.resolveClusters(docs(s, dir),
       Dedup.minhashLsh(docs(s, dir),
         shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5))),
+    // per-doc cross-document duplication mass: fraction of a doc's
+    // distinct 5-gram shingles occurring in >= 1 other doc (the Lee et
+    // al. 2022 train-set overlap diagnostic); hashed-gram index, df
+    // aggregate + join-back — no self-join, cost linear in corpus grams
+    "dd_dupmass" -> ((s, dir) => Dedup.duplicationMass(docs(s, dir), n = 5)),
+    // leakage-safe split over the dd_cluster pair graph (same provably-
+    // exact LSH params): the split decision hashes the CLUSTER id, so a
+    // duplicate cluster moves whole and no near-dup pair straddles
+    // train/test; 90/5/5 by integer millionth thresholds
+    "txt_split" -> ((s, dir) => Dedup.leakSafeSplit(docs(s, dir),
+      Dedup.minhashLsh(docs(s, dir),
+        shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5))),
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1056,6 +1068,76 @@ object SparkEntry {
         |       doc.doc_id = COALESCE(comp.c, doc.doc_id) AS keep
         |FROM (SELECT doc_id FROM documents) doc
         |LEFT JOIN comp ON comp.node = doc.doc_id""".stripMargin,
+
+    // duplication mass: word-level 5-gram shingles (the dd_ngram
+    // convention — short docs yield one whole-doc shingle), per-gram
+    // document frequency, per-doc dup fraction; the Scala side hashes
+    // grams to longs — identical membership absent 64-bit collisions,
+    // the standing dedup-oracle argument
+    "dd_dupmass" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+        |),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_frac
+        |FROM sh s JOIN df ON s.shingle = df.shingle
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // leakage-safe split: the dd_cluster closure (same recursive CTE)
+    // with the split decision hashing the CLUSTER id via the same
+    // fingerprint arithmetic the txt_mix oracle re-states (h*257+byte
+    // mod 2^61-1 over the id's decimal string), 90/5/5 integer
+    // millionth thresholds
+    "txt_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a
+        |  JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |nds AS (SELECT DISTINCT src AS nd FROM sym),
+        |reach(x, y) AS (
+        |  SELECT nd, nd FROM nds
+        |  UNION
+        |  SELECT r.x, s.dst FROM reach r JOIN sym s ON r.y = s.src
+        |),
+        |comp AS (SELECT x AS node, min(y) AS c FROM reach GROUP BY 1),
+        |cl AS (
+        |  SELECT doc.doc_id, COALESCE(comp.c, doc.doc_id) AS cluster_id
+        |  FROM (SELECT doc_id FROM documents) doc
+        |  LEFT JOIN comp ON comp.node = doc.doc_id
+        |),
+        |fp AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |        [CAST(unicode(c) AS HUGEINT)
+        |         for c in string_split_regex(CAST(cluster_id AS VARCHAR), '')]),
+        |      (h, b) -> ((h * 257 + b) % 2305843009213693951)) AS BIGINT)
+        |      % 1000000 AS bucket
+        |  FROM cl
+        |)
+        |SELECT doc_id, cluster_id, bucket,
+        |       CASE WHEN bucket < 900000 THEN 'train'
+        |            WHEN bucket < 950000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM fp""".stripMargin,
 
     // graft.nlp.Hashes.simhash re-stated in SQL: fnv1a64 per word via
     // HUGEINT mod-2^64 list_reduce (exact on the ASCII corpus where

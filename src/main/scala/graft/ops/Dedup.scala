@@ -311,4 +311,104 @@ object Dedup {
         coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("contaminated", col("hits") >= minHits)
   }
+
+  /** Cross-document DUPLICATION MASS — per-document fraction of its
+    * distinct word n-gram shingles that also occur in at least one OTHER
+    * document. Pair detectors ([[ngramJaccard]]/[[minhashLsh]]) answer
+    * "which documents are near-copies of each other"; this answers the
+    * complementary corpus-health question "how much of each document is
+    * boilerplate shared with the rest of the corpus" — the per-example
+    * duplication diagnostic behind exact-substring dedup (Lee et al.
+    * 2022 §4 report precisely this train-set n-gram overlap mass), and
+    * the standard signal for template/boilerplate-heavy shards that pair
+    * Jaccard misses (a doc can be 40% templated yet share <40% with any
+    * SINGLE other doc). Output: (doc_id, n_grams, n_dup, dup_frac) with
+    * dup_frac = n_dup / n_grams rounded to 6dp; docs shorter than n words
+    * contribute one whole-doc shingle (the [[docShingles]] convention).
+    *
+    * Scale shape: shingles hash to 8-byte keys before anything shuffles
+    * (the [[ngramJaccard]] index idiom), so the gram index is (doc_id,
+    * gram) longs — 16 B/row. Document frequency is a keyed aggregate
+    * with map-side partials (a hot boilerplate gram arrives at its
+    * reducer pre-combined, never as f raw rows), and the index joins the
+    * vocab-sized df table back on the gram key — a sort-merge join AQE
+    * can skew-split, deliberately NOT a window over the gram partition
+    * (no per-gram skew escape there). Unlike the pair detectors there is
+    * no self-join anywhere: cost is linear in corpus grams, a hot gram
+    * costs f rows, never f². The index is persisted for its two readers
+    * and released after the doc-keyed result (4 numbers/doc)
+    * materializes; for corpora where even that result is too large to
+    * pin executor-local, route it through Stages to parquet instead.
+    */
+  def duplicationMass(docs: DataFrame, n: Int = 5): DataFrame = {
+    val (grams, lazyOut) = duplicationMassPlan(docs, n)
+    // read twice: the df aggregate and the join-back probe side. The
+    // cache manager substitutes the persisted subtree into lazyOut's
+    // execution (cache lookup is by logical-plan fragment).
+    grams.persist()
+    val out = lazyOut.localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
+  /** The un-materialized [[duplicationMass]] plan, exposed so the shape
+    * contract (no string column in any exchange) can be pinned on the
+    * real exchanges — the public method's localCheckpoint hides them.
+    * Returns (gram index, result) so the caller owns the persist scope.
+    */
+  private[graft] def duplicationMassPlan(docs: DataFrame,
+                                         n: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        docShingles(t, n).iterator.map(g => (id, g))
+      }.toDF("doc_id", "g")
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val out = grams.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+    (grams, out)
+  }
+
+  /** Leakage-safe train/val/test SPLIT — deterministic split assignment
+    * keyed on the document's dedup CLUSTER, not the document itself.
+    * Splitting a corpus uniformly at random leaks: near-duplicates land
+    * on both sides of the train/test boundary and evaluation scores on
+    * the held-out split are contaminated by training copies (the
+    * train-test overlap failure Lee et al. 2022 §6.2 measure). Here
+    * every document inherits its cluster representative from
+    * [[resolveClusters]] over the supplied near-dup pair graph, the
+    * SPLIT decision hashes the cluster id — so an entire duplicate
+    * cluster moves as one unit and no near-dup pair can ever straddle a
+    * split. The assignment is the [[graft.ops.TextAnalysis.domainSample]]
+    * discipline: fingerprint-bucket vs integer millionth thresholds —
+    * reproducible across runs, engines, partitionings and shards, no RNG
+    * state, new documents joining an existing cluster always follow it.
+    * Output: (doc_id, cluster_id, bucket, split) with split ∈
+    * {train, val, test} by bucket < trainPpm / < valPpm / else.
+    *
+    * Scale shape: exactly [[resolveClusters]] (connected components over
+    * the dup-pair-sized graph + one id-only corpus join) plus a narrow
+    * codegen map (the fingerprint Expression over the cluster id's
+    * decimal string) — no additional corpus shuffle at all.
+    */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame,
+                    trainPpm: Long = 900000L,
+                    valPpm: Long = 950000L): DataFrame = {
+    require(0L <= trainPpm && trainPpm <= valPpm && valPpm <= 1000000L,
+      s"need 0 <= trainPpm <= valPpm <= 1e6, got ($trainPpm, $valPpm)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    resolveClusters(docs, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(expr("graft_fingerprint(cast(cluster_id as string))"),
+          lit(1000000L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPpm, "train")
+          .when(col("bucket") < valPpm, "val")
+          .otherwise("test"))
+  }
 }

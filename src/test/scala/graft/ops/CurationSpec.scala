@@ -567,4 +567,96 @@ class CurationSpec extends SparkSpec {
     val distinctTexts = corpus.select("text").distinct().count()
     assert(fp.values.toSet.size == distinctTexts)
   }
+
+  test("duplication mass: hand-computed fractions incl. short-doc shingle") {
+    import spark.implicits._
+    // A: 8 words → 4 5-grams; B = A (exact dup) → all grams shared, 1.0.
+    // C: unique → 0.0. D: 9 words → 5 grams, only "a b c d e" shared
+    // with A/B → 1/5. E/F: 3-word docs (< n) → ONE whole-doc shingle
+    // each; identical → 1.0 both.
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s"), (4L, "a b c d e q r s t"),
+      (5L, "p q r"), (6L, "p q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicationMass(docs, n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 4L, 1.0)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+    assert(got(4L) == ((5L, 1L, 0.2)))
+    assert(got(5L) == ((1L, 1L, 1.0)))
+    assert(got(6L) == ((1L, 1L, 1.0)))
+  }
+
+  test("duplication mass: invariants on planted corpus; no text in any exchange") {
+    import spark.implicits._
+    val rows = Dedup.duplicationMass(corpus, n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { case (_, nG, nD, f) =>
+      assert(nG >= 1 && nD >= 0 && nD <= nG)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    // exact duplicates: every gram of each member occurs in the twin
+    (0 until 5).foreach { i =>
+      assert(byId(i.toLong) == 1.0); assert(byId(200L + i) == 1.0)
+    }
+    // scale contract: grams hash to longs BEFORE anything shuffles — no
+    // exchange row carries a string column anywhere in the plan
+    val plan = Dedup.duplicationMassPlan(corpus, n = 5)._2
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      assert(!e.child.output.exists(
+        _.dataType == org.apache.spark.sql.types.StringType),
+        s"string-typed column in a duplication-mass exchange:\n$e")
+    }
+  }
+
+  test("leak-safe split: clusters move whole, deterministic, shard-mergeable") {
+    import spark.implicits._
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLsh(d, shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5)
+    val split = Dedup.leakSafeSplit(corpus, pairsOf(corpus))
+      .as[(Long, Long, Long, String)].collect()
+    assert(split.length == corpus.count())
+    val byId = split.map(r => r._1 -> r).toMap
+    // every planted near-dup/exact-dup pair shares ONE split — the
+    // operator's whole point
+    (0 until 10).foreach { i =>
+      assert(byId(i.toLong)._4 == byId(100L + i)._4, s"pair $i straddles splits")
+      assert(byId(i.toLong)._2 == byId(100L + i)._2)
+    }
+    (0 until 5).foreach { i => assert(byId(i.toLong)._4 == byId(200L + i)._4) }
+    // the bucket→split mapping is the documented integer rule
+    split.foreach { case (_, _, b, s) =>
+      assert(b >= 0 && b < 1000000)
+      val want = if (b < 900000) "train" else if (b < 950000) "val" else "test"
+      assert(s == want)
+    }
+    // deterministic under re-partitioning (no RNG state anywhere)
+    val reparted = Dedup.leakSafeSplit(corpus.repartition(7), pairsOf(corpus.repartition(7)))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(reparted == split.toSet)
+    // shard-mergeable: a NEW duplicate of doc 0 joins doc 0's cluster and
+    // inherits its split; every pre-existing assignment is unchanged
+    val grown = corpus.unionByName(
+      corpus.filter($"doc_id" === 0L).select(
+        org.apache.spark.sql.functions.lit(300L).as("doc_id"), $"text"))
+    val split2 = Dedup.leakSafeSplit(grown, pairsOf(grown))
+      .as[(Long, Long, Long, String)].collect()
+    val byId2 = split2.map(r => r._1 -> r).toMap
+    assert(byId2(300L)._2 == byId(0L)._2 && byId2(300L)._4 == byId(0L)._4)
+    split.foreach { r => assert(byId2(r._1) == r) }
+  }
 }
