@@ -364,6 +364,10 @@ object SparkEntry {
     // (domain support ⊆ corpus support, no smoothing), same p·log₂ ratio
     // arithmetic in DuckDB
     "txt_kl" -> ((s, dir) => TextAnalysis.domainKl(docs(s, dir))),
+    // per-domain TF-IDF top-5 term signatures (which terms drive a
+    // domain's drift); ranked on the ROUNDED score with word-asc
+    // tie-break so both engines order identically
+    "txt_tfidf" -> ((s, dir) => TextAnalysis.domainSignatures(docs(s, dir), k = 5)),
     // CCNet-style perplexity filter with the LM trained on the corpus
     // itself (the self-scoring configuration): bigram add-one model as a
     // table, scored by join-back, cross-entropy mirrored in DuckDB
@@ -1338,6 +1342,29 @@ object SparkEntry {
         |                  / 0.6931471805599453)), 6) AS kl_bits
         |FROM sw JOIN s USING (source) JOIN cw USING (word) CROSS JOIN n
         |GROUP BY 1, 2""".stripMargin,
+
+    // per-domain TF-IDF signatures: same (source, word) count table as
+    // txt_kl, idf = ln(#domains / #domains containing the word); both
+    // engines rank on the ROUNDED score with word-asc tie-break, so
+    // sub-6dp ln ULP differences cannot reorder the top-k
+    "txt_tfidf" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM tf),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.source, tf.word, tf.tf,
+        |         round(tf.tf * ln(ns.ns / df.df), 6) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN ns
+        |),
+        |rk AS (
+        |  SELECT source, word, tf, score,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY score DESC, word) AS rk
+        |  FROM sc
+        |)
+        |SELECT source, word, tf, score, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
 
     // domain-mix sampling: the txt_fingerprint rolling hash re-stated in
     // HUGEINT SQL, bucket = fp % 1e6, keep = bucket under the domain's

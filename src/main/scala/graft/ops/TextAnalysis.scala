@@ -313,6 +313,132 @@ object TextAnalysis {
         col("kl_bits"))
   }
 
+  /** Feature vector of one document for the trained quality classifier:
+    * L1-normalized hashed unigram counts (the linear fastText shape —
+    * the mean of hashed one-hot word vectors) plus bucketed structural
+    * signals (log2 word-count bucket, rounded mean word length, decile
+    * of the top unigram's frequency) so the model can express the
+    * length/diversity/repetition rules heuristic filters hand-code.
+    * Deterministic, allocation-light, shared verbatim by training and
+    * scoring so the two can never featurize differently.
+    */
+  private[graft] def qualityFeatures(text: String): RelationScoring.Feats = {
+    val ws = text.split(" ")
+    val n = ws.length
+    val m = scala.collection.mutable.HashMap.empty[String, Double]
+    var chars = 0
+    var i = 0
+    while (i < n) {
+      val w = ws(i)
+      chars += w.length
+      val k = "w:" + w
+      m.update(k, m.getOrElse(k, 0.0) + 1.0 / n)
+      i += 1
+    }
+    val maxTf = if (m.isEmpty) 0.0 else m.valuesIterator.max
+    m.update("nw:" + (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1))), 1.0)
+    m.update("awl:" + math.round(chars.toDouble / math.max(n, 1)), 1.0)
+    m.update("mtf:" + math.min((maxTf * 10).toInt, 10), 1.0)
+    RelationScoring.hashFeats(m.toMap)
+  }
+
+  /** Trained QUALITY CLASSIFIER — the learned replacement for
+    * [[curationFilter]]'s hand-set thresholds (the fastText-style
+    * quality model of C4/CCNet/DataComp-LM pipelines: a linear model
+    * over hashed bag-of-words). Labels default to WEAK SUPERVISION by
+    * the heuristic filter itself — the standard bootstrap: train on the
+    * rules, generalize past them to content the rules can't see — or
+    * pass a curated (doc_id, keep) table for gold labels. Training is
+    * [[RelationScoring.trainDistributed]] (iterative parameter mixing:
+    * per-partition Pegasos epochs, model-sized averaging; the data
+    * never collects to the driver), so the returned model is the only
+    * driver-sized artifact, persistable via ModelIO like the SVM/CRF.
+    */
+  def trainQualityClassifier(docs: DataFrame,
+                             labels: DataFrame = null,
+                             rounds: Int = 3,
+                             epochsPerRound: Int = 3,
+                             shards: Int = 0): RelationScoring.LinearModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = Option(labels).getOrElse(curationFilter(docs).select("doc_id", "keep"))
+    val data0 = docs.select(col("doc_id"), col("text"))
+      .join(lab.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .select(col("text"), col("keep")).as[(String, Boolean)]
+      .map { case (t, k) =>
+        val f = qualityFeatures(t)
+        RelationScoring.TrainRow(f.idx, f.value, if (k) 1 else -1)
+      }
+    // parameter mixing averages per-shard models — a shard needs enough
+    // rows to learn from (sample-scale corpora at full parallelism get
+    // 2-row shards and average to noise). `shards` > 0 pins the width;
+    // 0 keeps the join's natural partitioning (the at-scale default,
+    // where every shard is large).
+    val data = if (shards > 0) data0.repartition(shards) else data0
+    RelationScoring.trainDistributed(data, rounds, epochsPerRound)
+  }
+
+  /** Score documents with a trained quality model: (doc_id, q_score,
+    * pred_keep) with pred_keep = q_score > 0. A broadcast narrow map —
+    * the [[RelationScoring.scoreEdge]] discipline: the model rides the
+    * broadcast, the corpus never shuffles.
+    */
+  def scoreQuality(docs: DataFrame,
+                   model: RelationScoring.LinearModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, bc.value.score(qualityFeatures(t))) }
+      .toDF("doc_id", "q_score")
+      .withColumn("pred_keep", col("q_score") > 0.0)
+  }
+
+  /** Per-domain TF-IDF term SIGNATURES — the top-k terms that
+    * characterize each source against the rest of the corpus (tf =
+    * term count within the domain, idf = ln(#domains / #domains
+    * containing the term), the classic formulation). The standard
+    * audit companion to [[domainKl]]: KL says HOW FAR a domain's
+    * language drifted from the mixture, the signature says WHICH terms
+    * drive it — a drifting crawl source surfaces its new boilerplate
+    * here before any downstream metric moves. Output: (source, word,
+    * tf, score [rounded 6dp], rk ∈ 1..k) ranked per source by
+    * (rounded score DESC, word ASC) — ranking on the ROUNDED score so
+    * the order is reproducible across engines (sub-6dp ULP differences
+    * in ln cannot flip it).
+    *
+    * Scale shape: the same ONE-corpus-pass (source, word) count table
+    * as [[domainKl]], checkpointed eagerly for the same reason (its
+    * consumers include a broadcast exchange — the 1-row domain-count
+    * aggregate); document frequency is a vocab-sized keyed aggregate
+    * joined back on `word`; the per-source top-k runs as a rank-limit
+    * window, which Spark's WindowGroupLimit rewrites into map-side
+    * partial top-k — each reducer receives only k candidates per
+    * (partition, source), never a domain's full vocabulary.
+    */
+  def domainSignatures(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val tf = docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val ns = tf.agg(countDistinct("source").cast("double").as("ns"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("word").asc)
+    tf.join(dfT, Seq("word"))
+      .crossJoin(broadcast(ns))
+      .select(col("source"), col("word"), col("tf"),
+        round(col("tf").cast("double") * log(col("ns") / col("df")), 6)
+          .as("score"))
+      // filter BEFORE the cast: InferWindowGroupLimit pattern-matches a
+      // predicate directly on the rank attribute, and that rewrite (map-
+      // side partial top-k) is the operator's scale story
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("word"), col("tf"), col("score"),
+        col("rk").cast("bigint").as("rk"))
+  }
+
   /** Bigram language model trained on a reference corpus — the MODEL half
     * of the CCNet-style perplexity filter (Wenzek et al. 2020 filter
     * corpora by LM perplexity; the reference LM there is KenLM — here it

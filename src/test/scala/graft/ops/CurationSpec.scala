@@ -659,4 +659,93 @@ class CurationSpec extends SparkSpec {
     assert(byId2(300L)._2 == byId(0L)._2 && byId2(300L)._4 == byId(0L)._4)
     split.foreach { r => assert(byId2(r._1) == r) }
   }
+
+  test("trained quality classifier: held-out agreement >= 0.9 with its weak labels") {
+    import spark.implicits._
+    // balanced corpus: 60 good docs (25-40 varied vocab words) vs 60 bad
+    // (too short / loop-text / long-token spam — each trips a different
+    // curationFilter rule AND reads like real junk, so hashed unigrams +
+    // structural buckets both carry signal)
+    val rng = new scala.util.Random(11)
+    val base = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val vocab = base ++ base.map(_ + "on")
+    val good = (0 until 60).map { i =>
+      (i.toLong, Vector.fill(25 + rng.nextInt(16))(
+        vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val bad = (0 until 60).map { i =>
+      val t = i % 3 match {
+        case 0 => Vector.fill(3 + rng.nextInt(5))("spam").mkString(" ")
+        case 1 => Vector.fill(15)("buy now click here").mkString(" ")
+        case 2 => "x" * 40 + " " + Vector.fill(25)("zzz").mkString(" ")
+      }
+      (100L + i, t)
+    }
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    // repetition thresholds relaxed for toy-length docs: a single
+    // repeated bigram in a 30-word doc already exceeds the 0.06 default
+    // mass, which is calibrated for real document lengths
+    def labelsOf(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.curationFilter(d,
+        maxTopBigramFrac = 0.3, maxDupNgramFrac = 0.3).select("doc_id", "keep")
+    // sanity: the weak labels are what the corpus was built to produce
+    val labMap = labelsOf(docs).as[(Long, Boolean)].collect().toMap
+    assert(good.forall { case (id, _) => labMap(id) })
+    assert(bad.forall { case (id, _) => !labMap(id) })
+    // train on even doc_ids, hold out odd
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val test = docs.filter($"doc_id" % 2 === 1)
+    val model = TextAnalysis.trainQualityClassifier(train, labelsOf(train),
+      rounds = 4, epochsPerRound = 4, shards = 4)
+    val pred = TextAnalysis.scoreQuality(test, model)
+      .select("doc_id", "pred_keep").as[(Long, Boolean)].collect().toMap
+    val acc = pred.count { case (id, p) => p == labMap(id) }.toDouble / pred.size
+    assert(acc >= 0.9, s"held-out agreement $acc < 0.9")
+    // scores separate the classes in the right direction
+    val scores = TextAnalysis.scoreQuality(test, model)
+      .as[(Long, Double, Boolean)].collect()
+    val goodMean = scores.filter(_._1 < 100).map(_._2).sum /
+      scores.count(_._1 < 100)
+    val badMean = scores.filter(_._1 >= 100).map(_._2).sum /
+      scores.count(_._1 >= 100)
+    assert(goodMean > badMean)
+  }
+
+  test("domain TF-IDF signatures: hand-computed ranks, ties, group-limit plan") {
+    import spark.implicits._
+    // ns = 3 domains. df: x 1, y 2, z 1, w 1, p 1, q 1.
+    // srcA: x tf2·ln3, w tf1·ln3, y tf1·ln1.5 — k=2 drops y.
+    // srcB: z tf2·ln3 rk1, y ln1.5 rk2.
+    // srcC: p and q tie at ln3 exactly — word-asc breaks: p rk1, q rk2.
+    val docs = Seq(
+      (1L, "srcA", "x x y w"), (2L, "srcB", "y z z"), (3L, "srcC", "p q")
+    ).toDF("doc_id", "source", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    val got = TextAnalysis.domainSignatures(docs, k = 2)
+      .as[(String, String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 6)
+    assert(got(("srcA", 1L)) == (("x", 2L, r6(2 * ln3))))
+    assert(got(("srcA", 2L)) == (("w", 1L, r6(ln3))))
+    assert(got(("srcB", 1L)) == (("z", 2L, r6(2 * ln3))))
+    assert(got(("srcB", 2L)) == (("y", 1L, r6(ln15))))
+    assert(got(("srcC", 1L)) == (("p", 1L, r6(ln3))))
+    assert(got(("srcC", 2L)) == (("q", 1L, r6(ln3))))
+    // scale contract: the rank filter must plan as WindowGroupLimit
+    // (map-side partial top-k), not a full per-domain vocabulary sort
+    // feeding one window
+    val plan = TextAnalysis.domainSignatures(docs, k = 2)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val limits = plan.collect {
+      case e: org.apache.spark.sql.execution.window.WindowGroupLimitExec => e
+    }
+    assert(limits.nonEmpty, s"expected a WindowGroupLimit in:\n$plan")
+  }
 }
