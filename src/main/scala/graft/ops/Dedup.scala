@@ -295,14 +295,8 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 5, minHits: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    def shingleRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, t) => docShingles(t, n).iterator.map(s => (id, s)) }
-        .toDF("doc_id", "sh")
-    val benchSh = shingleRows(benchmark).select("sh").distinct()
-    val hits = shingleRows(corpus)
+    val benchSh = shingleRows(benchmark, n).select("sh").distinct()
+    val hits = shingleRows(corpus, n)
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     corpus.select(col("doc_id"))
@@ -356,16 +350,23 @@ object Dedup {
     * real exchanges — the public method's localCheckpoint hides them.
     * Returns (gram index, result) so the caller owns the persist scope.
     */
+  /** (doc_id, hashed n-gram shingle) rows of every document — the ONE
+    * shingle-row construction [[decontaminate]] and [[duplicationMass]]
+    * share, so their membership semantics can never diverge.
+    */
+  private[graft] def shingleRows(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => docShingles(t, n).iterator.map(s => (id, s)) }
+      .toDF("doc_id", "sh")
+  }
+
   private[graft] def duplicationMassPlan(docs: DataFrame,
                                          n: Int): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        docShingles(t, n).iterator.map(g => (id, g))
-      }.toDF("doc_id", "g")
-    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val out = grams.join(df, Seq("g"))
+    val grams = shingleRows(docs, n)
+    val df = grams.groupBy("sh").agg(count(lit(1)).as("df"))
+    val out = grams.join(df, Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))

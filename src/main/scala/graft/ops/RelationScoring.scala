@@ -59,7 +59,7 @@ object RelationScoring {
     * Char-wise avoids the String.getBytes array allocation per feature
     * name, the single largest allocation source in the scoring hot path.
     */
-  private def h(s: CharSequence): Int = {
+  private[graft] def h(s: CharSequence): Int = {
     var hh = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {

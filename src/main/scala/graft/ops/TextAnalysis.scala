@@ -325,21 +325,41 @@ object TextAnalysis {
   private[graft] def qualityFeatures(text: String): RelationScoring.Feats = {
     val ws = text.split(" ")
     val n = ws.length
-    val m = scala.collection.mutable.HashMap.empty[String, Double]
+    val inc = 1.0 / n
+    // hashed-index accumulation with ONE reusable StringBuilder — the
+    // scoring-hot-path discipline (never materialize a String per token;
+    // hash-colliding features sum, exactly hashFeats' contract). h is
+    // non-negative (< Dims), so Long keys sort like the Int indices.
+    val m = scala.collection.mutable.LongMap.empty[Double]
+    val sb = new java.lang.StringBuilder(24)
     var chars = 0
+    var maxTf = 0.0
     var i = 0
     while (i < n) {
       val w = ws(i)
       chars += w.length
-      val k = "w:" + w
-      m.update(k, m.getOrElse(k, 0.0) + 1.0 / n)
+      sb.setLength(0); sb.append("w:").append(w)
+      val k = RelationScoring.h(sb).toLong
+      val v = m.getOrElse(k, 0.0) + inc
+      m.update(k, v)
+      if (v > maxTf) maxTf = v
       i += 1
     }
-    val maxTf = if (m.isEmpty) 0.0 else m.valuesIterator.max
-    m.update("nw:" + (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1))), 1.0)
-    m.update("awl:" + math.round(chars.toDouble / math.max(n, 1)), 1.0)
-    m.update("mtf:" + math.min((maxTf * 10).toInt, 10), 1.0)
-    RelationScoring.hashFeats(m.toMap)
+    def bump(name: String): Unit = {
+      sb.setLength(0); sb.append(name)
+      val k = RelationScoring.h(sb).toLong
+      m.update(k, m.getOrElse(k, 0.0) + 1.0)
+    }
+    bump("nw:" + (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1))))
+    bump("awl:" + math.round(chars.toDouble / math.max(n, 1)))
+    bump("mtf:" + math.min((maxTf * 10).toInt, 10))
+    val keys = m.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val idx = new Array[Int](keys.length)
+    val vals = new Array[Double](keys.length)
+    var j = 0
+    while (j < keys.length) { idx(j) = keys(j).toInt; vals(j) = m(keys(j)); j += 1 }
+    RelationScoring.Feats(idx, vals)
   }
 
   /** Trained QUALITY CLASSIFIER — the learned replacement for

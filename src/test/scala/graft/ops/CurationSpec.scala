@@ -699,13 +699,12 @@ class CurationSpec extends SparkSpec {
     val test = docs.filter($"doc_id" % 2 === 1)
     val model = TextAnalysis.trainQualityClassifier(train, labelsOf(train),
       rounds = 4, epochsPerRound = 4, shards = 4)
-    val pred = TextAnalysis.scoreQuality(test, model)
-      .select("doc_id", "pred_keep").as[(Long, Boolean)].collect().toMap
-    val acc = pred.count { case (id, p) => p == labMap(id) }.toDouble / pred.size
-    assert(acc >= 0.9, s"held-out agreement $acc < 0.9")
-    // scores separate the classes in the right direction
     val scores = TextAnalysis.scoreQuality(test, model)
       .as[(Long, Double, Boolean)].collect()
+    val acc = scores.count { case (id, _, p) => p == labMap(id) }.toDouble /
+      scores.length
+    assert(acc >= 0.9, s"held-out agreement $acc < 0.9")
+    // scores separate the classes in the right direction
     val goodMean = scores.filter(_._1 < 100).map(_._2).sum /
       scores.count(_._1 < 100)
     val badMean = scores.filter(_._1 >= 100).map(_._2).sum /
