@@ -329,6 +329,16 @@ object SparkEntry {
     "dd_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4)),
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): the dd_embed
+    // cosine near-dup pair graph transitively closed into clusters with
+    // one kept representative each — resolveClusters over embedding
+    // pairs instead of shingle pairs, the same closure the oracle
+    // re-states as a recursive CTE
+    "dd_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.resolveClusters(emb.select(col("vec_id").as("doc_id")),
+        Similarity.embeddingNearDupPairs(emb, threshold = 0.4))
+    }),
     "txt_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "txt_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "txt_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -1183,6 +1193,30 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+
+    // semantic dedup: the dd_embed pair set (same cosine threshold,
+    // unrounded comparison) closed by the dd_cluster recursive CTE over
+    // the embeddings table's ids
+    "dd_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |nds AS (SELECT DISTINCT src AS nd FROM sym),
+        |reach(x, y) AS (
+        |  SELECT nd, nd FROM nds
+        |  UNION
+        |  SELECT r.x, s.dst FROM reach r JOIN sym s ON r.y = s.src
+        |),
+        |comp AS (SELECT x AS node, min(y) AS c FROM reach GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id,
+        |       d.doc_id = COALESCE(comp.c, d.doc_id) AS keep
+        |FROM (SELECT vec_id AS doc_id FROM embeddings) d
+        |LEFT JOIN comp ON comp.node = d.doc_id""".stripMargin,
 
     "txt_quality" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)

@@ -399,11 +399,21 @@ object Dedup {
     */
   def leakSafeSplit(docs: DataFrame, pairs: DataFrame,
                     trainPpm: Long = 900000L,
-                    valPpm: Long = 950000L): DataFrame = {
+                    valPpm: Long = 950000L): DataFrame =
+    splitByCluster(resolveClusters(docs, pairs), trainPpm, valPpm)
+
+  /** The [[leakSafeSplit]] assignment rule applied to an ALREADY-resolved
+    * (doc_id, cluster_id) table — the form the durable route uses, where
+    * the cluster map is a materialized stage and re-deriving it from the
+    * pair graph would re-run connected components.
+    */
+  def splitByCluster(clusters: DataFrame,
+                     trainPpm: Long = 900000L,
+                     valPpm: Long = 950000L): DataFrame = {
     require(0L <= trainPpm && trainPpm <= valPpm && valPpm <= 1000000L,
       s"need 0 <= trainPpm <= valPpm <= 1e6, got ($trainPpm, $valPpm)")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    resolveClusters(docs, pairs)
+    graft.functions.GraftFunctions.register(clusters.sparkSession)
+    clusters
       .select(col("doc_id"), col("cluster_id"),
         pmod(expr("graft_fingerprint(cast(cluster_id as string))"),
           lit(1000000L)).as("bucket"))

@@ -186,6 +186,41 @@ object Stages {
     reports.result()
   }
 
+  /** The curation decision chain as DURABLE resumable stages — the
+    * long-running form of the dd_cluster/txt_split/txt_curation driver
+    * queries (whose in-session localCheckpoints die with an executor):
+    * `dup_pairs` (MinHash-LSH near-dup pairs) → `dup_clusters`
+    * (connected-components closure + keep verdicts) → `splits`
+    * (cluster-keyed leakage-safe train/val/test) → `curation` (the
+    * composite keep/drop signals). A killed run resumes at the first
+    * missing stage; `splits` applies [[Dedup.splitByCluster]] to the
+    * cluster stage read back from storage — the pair graph is never
+    * re-shingled and components never re-run once materialized.
+    */
+  def materializeCuration(spark: SparkSession, sfDir: String,
+                          root: String): Seq[RunReport] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reports = Seq.newBuilder[RunReport]
+    val (pairs, r1) = run(spark, root, "dup_pairs") {
+      Dedup.minhashLsh(docs, shingleN = 3, numPerm = 64, bands = 32,
+        threshold = 0.5)
+    }
+    reports += r1
+    val (clusters, r2) = run(spark, root, "dup_clusters") {
+      Dedup.resolveClusters(docs, pairs)
+    }
+    reports += r2
+    val (_, r3) = run(spark, root, "splits") {
+      Dedup.splitByCluster(clusters.select(col("doc_id"), col("cluster_id")))
+    }
+    reports += r3
+    val (_, r4) = run(spark, root, "curation") {
+      TextAnalysis.curationFilter(docs)
+    }
+    reports += r4
+    reports.result()
+  }
+
   /** Shared front of the two durable evaluation routes: transcripts →
     * tokenization → gold (gazetteer) and pred (CRF Viterbi) mention
     * tables, all as named resumable stages.

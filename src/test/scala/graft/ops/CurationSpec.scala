@@ -712,6 +712,28 @@ class CurationSpec extends SparkSpec {
     assert(goodMean > badMean)
   }
 
+  test("semantic dedup: transitive embedding chain collapses to one kept rep") {
+    import spark.implicits._
+    // cos(1,2) ≈ 0.95 and cos(2,3) ≈ 0.944 qualify at 0.9; cos(1,3) =
+    // 0.80 does NOT — yet all three must collapse to cluster 1 (the
+    // SemDeDup transitivity step pair detection alone misses). vec 4 is
+    // near-orthogonal to all and keeps itself.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.312f)),
+      (3L, Array(0.80f, 0.59f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.resolveClusters(
+      emb.select($"vec_id".as("doc_id")),
+      Similarity.embeddingNearDupPairs(emb, threshold = 0.9))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((1L, false)))
+    assert(got(4L) == ((4L, true)))
+  }
+
   test("domain TF-IDF signatures: hand-computed ranks, ties, group-limit plan") {
     import spark.implicits._
     // ns = 3 domains. df: x 1, y 2, z 1, w 1, p 1, q 1.

@@ -137,4 +137,36 @@ class StagesSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$root/subclass_eval")
       .select("label", "tp", "fp", "fn", "fp_ov", "fn_ov")) == durable)
   }
+
+  test("materializeCuration: durable dedup/split chain, parity with driver queries") {
+    val root = Files.createTempDirectory("graft_cur_stages").toString
+    val sf = "/root/testdata/sf0.001"
+    val first = Stages.materializeCuration(spark, sf, root)
+    assert(first.map(_.stage) ==
+      Seq("dup_pairs", "dup_clusters", "splits", "curation"))
+    assert(first.forall(!_.skipped))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // stage parity with the in-session driver queries
+    assert(rows(spark.read.parquet(s"$root/dup_clusters")) ==
+      rows(graft.SparkEntry.queries("dd_cluster")(spark, sf)))
+    val durableSplits = rows(spark.read.parquet(s"$root/splits"))
+    assert(durableSplits == rows(graft.SparkEntry.queries("txt_split")(spark, sf)))
+    assert(rows(spark.read.parquet(s"$root/curation")) ==
+      rows(graft.SparkEntry.queries("txt_curation")(spark, sf)))
+    // killed-run resume: losing splits + curation must NOT re-run the
+    // pair generation or the components closure
+    def delete(p: String): Unit = {
+      val dir = new java.io.File(p)
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+    delete(s"$root/splits")
+    delete(s"$root/curation")
+    val second = Stages.materializeCuration(spark, sf, root)
+    val skipped = second.map(r => r.stage -> r.skipped).toMap
+    assert(skipped("dup_pairs") && skipped("dup_clusters"))
+    assert(!skipped("splits") && !skipped("curation"))
+    assert(rows(spark.read.parquet(s"$root/splits")) == durableSplits)
+  }
 }
