@@ -402,7 +402,18 @@ object SparkEntry {
     }),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
-        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames"))
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")),
+
+    // ---- event-stream analytics (events table) -----------------------
+    // gap-based sessionization: integer-microsecond boundary arithmetic
+    // (strict >30min gap starts a session), one per-user window
+    "ev_sessions" -> ((s, dir) =>
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet"),
+        gapMinutes = 30)),
+    // tumbling hourly aggregation per event type: counts, 6dp-rounded
+    // value sums, distinct users — map-side-combined keyed agg
+    "ev_windows" -> ((s, dir) =>
+      Events.windowAgg(s.read.parquet(s"$dir/events.parquet")))
   )
 
   /** Domain mixture for txt_mix: rates over the 20 synthetic sources in
@@ -1569,7 +1580,41 @@ object SparkEntry {
         |  CAST(64 + length(text) % 577 AS INT) AS width,
         |  CAST(64 + (length(text) * 31) % 433 AS INT) AS height,
         |  CAST(1 + length(text) % 7 AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // sessionization: identical integer-microsecond gap rule (epoch_us
+    // ≡ Spark's unix_micros; strict > 30min = 1.8e9 us), identical
+    // (ts, event_id) window order
+    "ev_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |),
+        |l AS (
+        |  SELECT event_id, user_id, ts_us,
+        |         lag(ts_us) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS prev_us
+        |  FROM e
+        |),
+        |f AS (
+        |  SELECT event_id, user_id, ts_us,
+        |         (prev_us IS NULL OR ts_us - prev_us > 1800000000) AS is_start
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER (
+        |         PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS session_idx,
+        |       is_start
+        |FROM f""".stripMargin,
+
+    // tumbling hourly aggregation (both engines truncate in UTC — the
+    // Spark session timezone is pinned to UTC)
+    "ev_windows" ->
+      """SELECT event_type, date_trunc('hour', ts) AS window_start,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin
     )
     // the table-join CRF route must produce EXACTLY what the broadcast
     // route produces — same oracle SQL, two independent Spark plans

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the (event_id, ts, user_id, event_type,
+  * value, props) events table — the batch counterparts of the
+  * streaming extraction's session semantics
+  * (graft.streaming.StreamingKg.triplesStatefulEventTime evicts on
+  * exactly the same event-time gap rule).
+  */
+object Events {
+
+  /** Gap-based SESSIONIZATION: per user, events ordered by event time
+    * belong to one session until the gap to the previous event EXCEEDS
+    * `gapMinutes` (strictly — a gap of exactly the threshold stays in
+    * session, the same boundary the streaming extractor's event-time
+    * timeout uses). Output: one row per event — (event_id, user_id,
+    * session_idx [1-based per user], is_start). Arithmetic is integer
+    * microseconds end to end (epoch micros in both engines), so the
+    * boundary decision is exact — no timestamp-to-double drift.
+    *
+    * Scale shape: ONE shuffle — the per-user window (lag + running sum
+    * over (ts, event_id) order). Per-user event counts bound the
+    * partition-local sort; user skew is the operator's inherent hot key
+    * and arrives as f rows for an f-event user, never f². This is the
+    * textbook sessionization plan; nothing cheaper exists because the
+    * session rule is a running dependency within the user's timeline.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      // parquet event times arrive as TIMESTAMP_NTZ; the cast re-types
+      // to TIMESTAMP under the pinned-UTC session, so the micros match
+      // DuckDB's naive epoch_us exactly
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_start",
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > gapUs)
+      .withColumn("session_idx",
+        sum(col("is_start").cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_idx"),
+        col("is_start"))
+  }
+
+  /** Tumbling-WINDOW aggregation: event counts, value sum and distinct
+    * users per (event_type, hour bucket) — the batch form of the
+    * streaming rate monitor. Output: (event_type, window_start, n_events,
+    * sum_value [rounded 6dp], n_users).
+    *
+    * Scale shape: counts and sums pre-combine map-side, but EXACT
+    * distinct-user counting cannot — Catalyst expands it to a first
+    * aggregate keyed (type, window, user), so the shuffle carries the
+    * distinct key combos, not windows × types (measured 2.07 MB for a
+    * 3.6k-row result at sf0.1). That is the inherent price of exactness
+    * (and what the oracle checks); at lake scale pass
+    * `approxUsers = true` to count users with HLL sketches instead —
+    * sketch partials pre-combine map-side and reducer traffic drops to
+    * windows × types (the Linking.nodes exact-vs-HLL precedent).
+    */
+  def windowAgg(events: DataFrame, approxUsers: Boolean = false): DataFrame =
+    events
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("value"), col("user_id"))
+      .groupBy("event_type", "window_start")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        (if (approxUsers) approx_count_distinct("user_id")
+         else countDistinct("user_id")).as("n_users"))
+}
