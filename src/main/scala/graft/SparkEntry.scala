@@ -280,16 +280,16 @@ object SparkEntry {
     // (1-j²)³² — at the corpus's lowest qualifying Jaccard (0.8 at sf0.1)
     // that is ~6e-15, so the banded-LSH output equals the exact-Jaccard
     // set and the DuckDB all-pairs oracle below checks it bit-for-bit.
-    "dd_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir),
-      shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5)),
+    // Dedup.oracleLshPairs is the ONE definition of these params, shared
+    // with dd_cluster/txt_split and the durable Stages chain.
+    "dd_minhash" -> ((s, dir) => Dedup.oracleLshPairs(docs(s, dir))),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     // cluster resolution over the dd_minhash pair graph (same provably-
     // exact LSH params), transitively closed by connected components:
     // one kept representative per duplicate cluster, every unpaired doc
     // keeps itself. DuckDB mirrors the closure with a recursive CTE.
     "dd_cluster" -> ((s, dir) => Dedup.resolveClusters(docs(s, dir),
-      Dedup.minhashLsh(docs(s, dir),
-        shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5))),
+      Dedup.oracleLshPairs(docs(s, dir)))),
     // per-doc cross-document duplication mass: fraction of a doc's
     // distinct 5-gram shingles occurring in >= 1 other doc (the Lee et
     // al. 2022 train-set overlap diagnostic); hashed-gram index, df
@@ -300,8 +300,7 @@ object SparkEntry {
     // duplicate cluster moves whole and no near-dup pair straddles
     // train/test; 90/5/5 by integer millionth thresholds
     "txt_split" -> ((s, dir) => Dedup.leakSafeSplit(docs(s, dir),
-      Dedup.minhashLsh(docs(s, dir),
-        shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5))),
+      Dedup.oracleLshPairs(docs(s, dir)))),
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)

@@ -124,6 +124,20 @@ object Dedup {
     pairs
   }
 
+  /** MinHash-LSH pairs at THE parameter set the oracle-checked surface
+    * shares — dd_minhash / dd_cluster / txt_split driver queries and
+    * `Stages.materializeCuration` all call this one definition. At
+    * bands=32 (rows=2) the banded candidate set provably covers every
+    * pair at or above the 0.5 Jaccard threshold on the driver corpus
+    * family (p_miss ≈ 6e-15 at its lowest qualifying Jaccard), which is
+    * exactly what lets DuckDB's all-pairs SQL stand as a bit-for-bit
+    * oracle. Retuning these parameters means retuning every mirror SQL
+    * and the durable chain's stage-parity tests together — hence one
+    * definition, not four literal tuples.
+    */
+  def oracleLshPairs(docs: DataFrame): DataFrame =
+    minhashLsh(docs, shingleN = 3, numPerm = 64, bands = 32, threshold = 0.5)
+
   /** Hashed shingle set of one document — the tokenization + shingling
     * every minhash consumer (batch AND streaming) goes through, so the
     * candidate arithmetic can never diverge between them.
@@ -399,19 +413,26 @@ object Dedup {
     */
   def leakSafeSplit(docs: DataFrame, pairs: DataFrame,
                     trainPpm: Long = 900000L,
-                    valPpm: Long = 950000L): DataFrame =
+                    valPpm: Long = 950000L): DataFrame = {
+    // fail fast: resolveClusters runs the (eager, multi-job) components
+    // closure — validate the thresholds before paying for it
+    requireSplitPpms(trainPpm, valPpm)
     splitByCluster(resolveClusters(docs, pairs), trainPpm, valPpm)
+  }
 
   /** The [[leakSafeSplit]] assignment rule applied to an ALREADY-resolved
     * (doc_id, cluster_id) table — the form the durable route uses, where
     * the cluster map is a materialized stage and re-deriving it from the
     * pair graph would re-run connected components.
     */
+  private def requireSplitPpms(trainPpm: Long, valPpm: Long): Unit =
+    require(0L <= trainPpm && trainPpm <= valPpm && valPpm <= 1000000L,
+      s"need 0 <= trainPpm <= valPpm <= 1e6, got ($trainPpm, $valPpm)")
+
   def splitByCluster(clusters: DataFrame,
                      trainPpm: Long = 900000L,
                      valPpm: Long = 950000L): DataFrame = {
-    require(0L <= trainPpm && trainPpm <= valPpm && valPpm <= 1000000L,
-      s"need 0 <= trainPpm <= valPpm <= 1e6, got ($trainPpm, $valPpm)")
+    requireSplitPpms(trainPpm, valPpm)
     graft.functions.GraftFunctions.register(clusters.sparkSession)
     clusters
       .select(col("doc_id"), col("cluster_id"),

