@@ -203,4 +203,57 @@ class RobustnessSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toSeq ==
       Seq((1L, 0L, 0L, 0L, "alpha beta")))
   }
+
+  test("dupmass / split / tfidf / sessions / classifier degenerate inputs") {
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    // duplication mass: empty corpus -> none; singleton -> its one
+    // whole-doc shingle is unique; two EMPTY-text docs share the one
+    // empty shingle -> dup_frac 1.0 both, no throw
+    assert(Dedup.duplicationMass(none).count() == 0)
+    assert(Dedup.duplicationMass(one).as[(Long, Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 1L, 0L, 0.0)))
+    val dm = Dedup.duplicationMass(Seq((1L, ""), (2L, "")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(dm(1L) == 1.0 && dm(2L) == 1.0)
+    // leak-safe split: no pairs -> every doc its own cluster; empty
+    // corpus -> none; invalid thresholds fail fast (BEFORE components)
+    assert(Dedup.leakSafeSplit(one, noPairs).count() == 1)
+    assert(Dedup.leakSafeSplit(none, noPairs).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.leakSafeSplit(one, noPairs, trainPpm = 960000, valPpm = 950000)
+    }
+    // TF-IDF signatures: empty corpus -> none; a single-domain corpus
+    // scores every term 0 (idf = ln 1) and ranks by word
+    assert(TextAnalysis.domainSignatures(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() == 0)
+    val sig = TextAnalysis.domainSignatures(
+      Seq((1L, "b a", "s")).toDF("doc_id", "text", "source"), k = 2)
+      .as[(String, String, Long, Double, Long)].collect().sortBy(_._5)
+    assert(sig.toSeq == Seq(("s", "a", 1L, 0.0, 1L), ("s", "b", 1L, 0.0, 2L)))
+    // sessionize: empty -> none; a NULL event time must not throw, sorts
+    // LAST (the pinned cross-engine order) and leaves real rows intact
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(Events.sessionize(
+      Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("event_id", "ts", "user_id"))
+      .count() == 0)
+    val evRows = Events.sessionize(
+      Seq((1L, Some(t0), 1L), (2L, None: Option[java.sql.Timestamp], 1L))
+        .toDF("event_id", "ts", "user_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(evRows(1L).getLong(2) == 1L && evRows(1L).getBoolean(3))
+    assert(evRows(2L).isNullAt(3) && evRows(2L).getLong(2) == 1L)
+    // window agg: empty -> none
+    assert(Events.windowAgg(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+        .toDF("event_id", "ts", "user_id", "event_type", "value")).count() == 0)
+    // quality classifier: empty training data -> the zero model; scoring
+    // with it is well-defined (score 0, keep false)
+    val zero = TextAnalysis.trainQualityClassifier(none)
+    assert(TextAnalysis.scoreQuality(one, zero)
+      .as[(Long, Double, Boolean)].collect().toSeq == Seq((1L, 0.0, false)))
+  }
 }
