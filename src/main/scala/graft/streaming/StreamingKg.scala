@@ -755,6 +755,77 @@ object StreamingKg {
     spark.read.option("basePath", root).parquet(dirs: _*)
   }
 
+  /** State for [[sessionizeStream]]: the user's current session (start
+    * micros — the session's stable identity) and the max event time
+    * ever seen (the gap horizon, state-carried so a late-but-valid
+    * arrival cannot shrink it — the [[exactDedupStreamEventTime]]
+    * discipline).
+    */
+  final case class SessState(lastUs: Long, startUs: Long)
+
+  /** Streaming SESSIONIZATION — the incremental form of
+    * [[graft.ops.Events.sessionize]]: per-user state carries the gap
+    * horizon and the open session's start; each arriving event joins
+    * the current session or opens a new one under the SAME strict-> gap
+    * rule in integer event-time microseconds. Emits (event_id, user_id,
+    * session_start_us, is_start) — the session is identified by its
+    * FIRST event's micros rather than a per-user ordinal, so state
+    * eviction can never renumber later sessions (an ordinal dies with
+    * the state; the start-time key is stable by construction; the batch
+    * operator's ordinal and this key induce the same PARTITION of
+    * events into sessions, which is what the parity test compares).
+    * Within a micro-batch rows are processed in (ts, event_id) order —
+    * the batch window order — so in-order arrival across batches yields
+    * exactly the batch partitioning; an event arriving LATE after a
+    * newer event advanced the horizon may split differently than the
+    * batch sort (the inherent streaming/batch divergence of any online
+    * sessionizer on late data; the watermark bounds how late that can
+    * be). State evicts on event time once the watermark passes last
+    * event + gap — semantically free for partitioning: any later event
+    * exceeds the gap and opens a new session anyway.
+    */
+  def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp, Long)],
+                       gapMinutes: Int = 30,
+                       watermarkDelay: String = "10 minutes")
+  : Dataset[(Long, Long, Long, Boolean)] = {
+    require(gapMinutes > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toVector.sortBy(r => (us(r._2), r._1))
+            var st = state.getOption.orNull
+            val out = sorted.map { case (eid, t, _) =>
+              val u = us(t)
+              val isStart = (st eq null) || u - st.lastUs > gapUs
+              st = if (isStart) SessState(u, u)
+              else SessState(math.max(st.lastUs, u), st.startUs)
+              (eid, userId, st.startUs, isStart)
+            }
+            if (st ne null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000L + gapMinutes.toLong * 60000L,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Event-time turn-rate monitor: 1-minute windows, 2-minute watermark
     * (late turns beyond the watermark are dropped from their window).
     */

@@ -638,4 +638,58 @@ class StreamingKgSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == 12)
     assert(got.forall(_.getLong(2) == 3)) // 2 windows × 2 roles × 3 turns
   }
+
+  test("streaming sessionization == batch partitioning; eviction opens fresh sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    // 1-minute gap, 1-minute lateness tolerance
+    val q = StreamingKg.sessionizeStream(source.toDS(), gapMinutes = 1,
+      watermarkDelay = "1 minute")
+      .toDF("event_id", "user_id", "session_start_us", "is_start")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (two events 10s apart); user 2 one event
+      source.addData((1L, t(0), 1L), (2L, t(10000), 1L), (3L, t(0), 2L))
+      q.processAllAvailable()
+      // batch 2: user 1 continues within the gap CROSS-batch, then a
+      // 90s silence opens a second session
+      source.addData((4L, t(40000), 1L), (5L, t(40000 + 90000), 1L))
+      q.processAllAvailable()
+      val stream = spark.table("sessions")
+        .as[(Long, Long, Long, Boolean)].collect()
+      val batch = graft.ops.Events.sessionize(
+        Seq((1L, t(0), 1L), (2L, t(10000), 1L), (3L, t(0), 2L),
+          (4L, t(40000), 1L), (5L, t(130000), 1L))
+          .toDF("event_id", "ts", "user_id"), gapMinutes = 1)
+        .as[(Long, Long, Long, Boolean)].collect()
+      // is_start agrees per event
+      assert(stream.map(r => r._1 -> r._4).toMap ==
+        batch.map(r => r._1 -> r._4).toMap)
+      // the induced PARTITION of events into sessions agrees (stream
+      // keys sessions by start micros, batch by per-user ordinal)
+      def parts(rows: Array[(Long, Long, Long, Boolean)]): Set[Set[Long]] =
+        rows.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).toSet).toSet
+      assert(parts(stream) == parts(batch))
+      assert(parts(stream) == Set(Set(1L, 2L, 4L), Set(5L), Set(3L)))
+      // push the watermark far past user 2's gap with unrelated traffic
+      // (the timeout fires on the batch after the watermark advances)
+      source.addData((6L, t(600000), 9L))
+      q.processAllAvailable()
+      source.addData((7L, t(610000), 9L))
+      q.processAllAvailable()
+      // user 2 re-appears after eviction: a fresh session (is_start,
+      // new start key) — and batch agrees, because the gap is exceeded
+      source.addData((8L, t(700000), 2L))
+      q.processAllAvailable()
+      val after = spark.table("sessions")
+        .as[(Long, Long, Long, Boolean)].collect()
+      val e8 = after.find(_._1 == 8L).get
+      assert(e8._4 && e8._3 != after.find(_._1 == 3L).get._3)
+    } finally q.stop()
+  }
 }
