@@ -782,7 +782,13 @@ object StreamingKg {
     * sessionizer on late data; the watermark bounds how late that can
     * be). State evicts on event time once the watermark passes last
     * event + gap — semantically free for partitioning: any later event
-    * exceeds the gap and opens a new session anyway.
+    * exceeds the gap and opens a new session anyway. NULL event times
+    * are DROPPED at ingest: a timeless event cannot be positioned
+    * against an event-time horizon (and the engine's late-data
+    * predicate would pass such a row through to a task-killing NPE);
+    * the batch operator instead carries null-ts rows with a null
+    * is_start — the one documented batch/stream divergence, pinned in
+    * StreamingKgSpec.
     */
   def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp, Long)],
                        gapMinutes: Int = 30,
@@ -795,6 +801,7 @@ object StreamingKg {
     def us(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events.toDF("event_id", "ts", "user_id")
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._3)

@@ -676,6 +676,12 @@ class StreamingKgSpec extends SparkSpec {
         rows.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).toSet).toSet
       assert(parts(stream) == parts(batch))
       assert(parts(stream) == Set(Set(1L, 2L, 4L), Set(5L), Set(3L)))
+      // a NULL event time must be dropped at ingest (documented
+      // batch/stream divergence), never crash the query
+      source.addData((99L, null.asInstanceOf[java.sql.Timestamp], 1L))
+      q.processAllAvailable()
+      assert(!spark.table("sessions").as[(Long, Long, Long, Boolean)]
+        .collect().exists(_._1 == 99L))
       // push the watermark far past user 2's gap with unrelated traffic
       // (the timeout fires on the batch after the watermark advances)
       source.addData((6L, t(600000), 9L))
@@ -690,6 +696,13 @@ class StreamingKgSpec extends SparkSpec {
         .as[(Long, Long, Long, Boolean)].collect()
       val e8 = after.find(_._1 == 8L).get
       assert(e8._4 && e8._3 != after.find(_._1 == 3L).get._3)
+      // the gap rule alone would also produce that output — pin that
+      // the EVENT-TIME TIMEOUT actually fired (state rows were removed),
+      // or per-user state grows forever on idle users
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "event-time timeout never evicted any state")
     } finally q.stop()
   }
 }
