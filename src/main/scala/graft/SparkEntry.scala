@@ -412,7 +412,13 @@ object SparkEntry {
     // tumbling hourly aggregation per event type: counts, 6dp-rounded
     // value sums, distinct users — map-side-combined keyed agg
     "ev_windows" -> ((s, dir) =>
-      Events.windowAgg(s.read.parquet(s"$dir/events.parquet")))
+      Events.windowAgg(s.read.parquet(s"$dir/events.parquet"))),
+    // funnel depth through signup -> view -> click -> purchase: greedy
+    // prefix matching in (ts, event_id) order; non-step events filtered
+    // before the user-keyed shuffle
+    "ev_funnel" -> ((s, dir) =>
+      Events.funnel(s.read.parquet(s"$dir/events.parquet"),
+        Seq("signup", "view", "click", "purchase")))
   )
 
   /** Domain mixture for txt_mix: rates over the 20 synthetic sources in
@@ -1613,7 +1619,34 @@ object SparkEntry {
       """SELECT event_type, date_trunc('hour', ts) AS window_start,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // funnel: identical greedy fold — step ids in (epoch_us, event_id)
+    // order reduced with the same advance-on-next-step rule (list_reduce
+    // seeded by the prepended 0, the txt_mix idiom); silent users rejoin
+    // with depth 0
+    "ev_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |              WHEN 'click' THEN 3 WHEN 'purchase' THEN 4
+        |              ELSE 0 END AS sid
+        |  FROM events
+        |),
+        |u AS (
+        |  SELECT user_id, list(sid ORDER BY us, event_id) AS sids
+        |  FROM s WHERE sid > 0 GROUP BY 1
+        |),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(list_reduce(list_prepend(0, sids),
+        |      (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+        |      AS BIGINT) AS depth
+        |  FROM u
+        |)
+        |SELECT a.user_id, COALESCE(d.depth, 0) AS depth
+        |FROM (SELECT DISTINCT user_id FROM events) a
+        |LEFT JOIN d USING (user_id)""".stripMargin
     )
     // the table-join CRF route must produce EXACTLY what the broadcast
     // route produces — same oracle SQL, two independent Spark plans

@@ -53,6 +53,47 @@ object Events {
         col("is_start"))
   }
 
+  /** FUNNEL analysis — per user, the greedy matched DEPTH through an
+    * ordered step sequence: walking the user's events in (event time,
+    * event_id) order, an event whose type equals the NEXT unmatched
+    * step advances the depth; everything else is ignored. Greedy prefix
+    * matching is optimal here (matching a step later can never enable a
+    * deeper prefix), so depth = the longest step prefix the user
+    * completed in order. Output: (user_id, depth ∈ 0..steps.length),
+    * one row per user — users with no step events report 0.
+    *
+    * Scale shape: non-step events are FILTERED OUT before anything
+    * groups (they can never advance the depth) — on a realistic corpus
+    * that drops most of the volume before the one user-keyed shuffle.
+    * Each user's remaining step events collect into one sorted array
+    * walked by a codegen'd `aggregate` HOF; the array is bounded by the
+    * user's own step-event count (the same per-user bound sessionize's
+    * window carries). The full user list rejoins at the end so silent
+    * users keep a row.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    val sid = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    val depths = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), sid.as("sid"))
+      .filter(col("sid") > 0)
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id"), col("sid")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        aggregate(transform(col("es"), e => e.getField("sid")), lit(0),
+          (d, s) => when(s === d + 1, d + 1).otherwise(d))
+          .cast("bigint").as("depth"))
+    events.select(col("user_id")).distinct()
+      .join(depths, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("depth"), lit(0L)).as("depth"))
+  }
+
   /** Tumbling-WINDOW aggregation: event counts, value sum and distinct
     * users per (event_type, hour bucket) — the batch form of the
     * streaming rate monitor. Output: (event_type, window_start, n_events,

@@ -61,4 +61,28 @@ class EventsSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(approx == got)
   }
+
+  test("funnel: greedy prefix depth — order matters, repeats don't, silent users report 0") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    def e(id: Long, off: Long, u: Long, ty: String) = (id, ts(off), u, ty)
+    val events = Seq(
+      // user 1: a, b, c in order -> 3 (with an ignored type mixed in)
+      e(1, 0, 1, "a"), e(2, 10, 1, "x"), e(3, 20, 1, "b"), e(4, 30, 1, "c"),
+      // user 2: c first doesn't count; a, then c again without b -> 1
+      e(5, 0, 2, "c"), e(6, 10, 2, "a"), e(7, 20, 2, "c"),
+      // user 3: repeated a's never advance past the missing b -> 1
+      e(8, 0, 3, "a"), e(9, 10, 3, "a"), e(10, 20, 3, "a"),
+      // user 4: only ignored types -> 0
+      e(11, 0, 4, "x"), e(12, 10, 4, "y"),
+      // user 5: b at the SAME ts as a but a larger event_id — the
+      // (ts, event_id) tie-break puts a first, so both match -> 2
+      e(13, 0, 5, "a"), e(14, 0, 5, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.funnel(events, steps)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+    intercept[IllegalArgumentException] { Events.funnel(events, Seq("a", "a")) }
+    intercept[IllegalArgumentException] { Events.funnel(events, Seq.empty) }
+  }
 }
