@@ -418,7 +418,12 @@ object SparkEntry {
     // before the user-keyed shuffle
     "ev_funnel" -> ((s, dir) =>
       Events.funnel(s.read.parquet(s"$dir/events.parquet"),
-        Seq("signup", "view", "click", "purchase")))
+        Seq("signup", "view", "click", "purchase"))),
+    // cohort retention matrix: first-seen-hour cohorts x whole-hour
+    // offsets, exact distinct users (integral `div` on micros — both
+    // sides hour-truncated)
+    "ev_retention" -> ((s, dir) =>
+      Events.retention(s.read.parquet(s"$dir/events.parquet")))
   )
 
   /** Domain mixture for txt_mix: rates over the 20 synthetic sources in
@@ -1646,7 +1651,20 @@ object SparkEntry {
         |)
         |SELECT a.user_id, COALESCE(d.depth, 0) AS depth
         |FROM (SELECT DISTINCT user_id FROM events) a
-        |LEFT JOIN d USING (user_id)""".stripMargin
+        |LEFT JOIN d USING (user_id)""".stripMargin,
+
+    // retention: identical hour-truncation + integral micros division
+    "ev_retention" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h FROM events
+        |),
+        |f AS (SELECT user_id, min(h) AS cohort_hour FROM h GROUP BY 1)
+        |SELECT f.cohort_hour,
+        |       (epoch_us(h.h) - epoch_us(f.cohort_hour)) // 3600000000
+        |         AS offset_hours,
+        |       CAST(count(DISTINCT h.user_id) AS BIGINT) AS n_users
+        |FROM h JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
     )
     // the table-join CRF route must produce EXACTLY what the broadcast
     // route produces — same oracle SQL, two independent Spark plans

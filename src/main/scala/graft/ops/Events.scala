@@ -94,6 +94,39 @@ object Events {
       .select(col("user_id"), coalesce(col("depth"), lit(0L)).as("depth"))
   }
 
+  /** Cohort RETENTION matrix — users grouped by the hour of their FIRST
+    * event (the cohort), counted distinctly at each whole-hour offset
+    * they were active again: (cohort_hour, offset_hours, n_users).
+    * Offset 0 is the cohort's own size; a user appears once per
+    * (cohort, offset) regardless of how many events landed in that
+    * hour. The standard product-analytics retention table, computed
+    * exactly.
+    *
+    * Scale shape: first-seen is a user-keyed min aggregate (map-side
+    * partials); the events then join the user-count-sized cohort table
+    * on user_id and reduce by (cohort, offset) — distinct-user
+    * expansion applies as in [[windowAgg]] (the price of exactness; an
+    * HLL variant would pre-combine).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("h"))
+      .groupBy("user_id").agg(min("h").as("cohort_hour"))
+    events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_hour"),
+        // `div` = integral division on longs (`/` would promote to
+        // double); both sides are hour-truncated so the diff is an
+        // exact multiple of 3.6e9 micros
+        expr("(unix_micros(cast(h as timestamp)) - " +
+          "unix_micros(cast(cohort_hour as timestamp))) div 3600000000")
+          .as("offset_hours"))
+      .groupBy("cohort_hour", "offset_hours")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Tumbling-WINDOW aggregation: event counts, value sum and distinct
     * users per (event_type, hour bucket) — the batch form of the
     * streaming rate monitor. Output: (event_type, window_start, n_events,

@@ -85,4 +85,25 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Events.funnel(events, Seq("a", "a")) }
     intercept[IllegalArgumentException] { Events.funnel(events, Seq.empty) }
   }
+
+  test("retention: hand-computed cohort x offset matrix, distinct within the hour") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // user 1 first seen hour 0, active hours 0 and 2 (twice in hour 2 —
+    // counted once); user 2 first seen hour 0, active hour 0 only;
+    // user 3 first seen hour 1, active hours 1 and 2
+    val events = Seq(
+      (1L, ts(0), 1L), (2L, ts(2 * h), 1L), (3L, ts(2 * h + 5), 1L),
+      (4L, ts(10), 2L),
+      (5L, ts(h), 3L), (6L, ts(2 * h + 7), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Events.retention(events)
+      .as[(Timestamp, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (ts(0), 0L) -> 2L,   // users 1 and 2 in the hour-0 cohort
+      (ts(0), 2L) -> 1L,   // user 1 returns at offset 2
+      (ts(h), 0L) -> 1L,   // user 3's own cohort hour
+      (ts(h), 1L) -> 1L))  // user 3 returns one hour later
+  }
 }
