@@ -1640,7 +1640,7 @@ object SparkEntry {
         |),
         |u AS (
         |  SELECT user_id, list(sid ORDER BY us, event_id) AS sids
-        |  FROM s WHERE sid > 0 GROUP BY 1
+        |  FROM s WHERE sid > 0 AND us IS NOT NULL GROUP BY 1
         |),
         |d AS (
         |  SELECT user_id,

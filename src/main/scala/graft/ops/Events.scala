@@ -80,7 +80,13 @@ object Events {
     val depths = events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"), sid.as("sid"))
-      .filter(col("sid") > 0)
+      // a NULL event time cannot be ordered against the funnel walk —
+      // drop it here exactly as the oracle does (Spark's struct sort is
+      // null-FIRST, DuckDB's ORDER BY is null-LAST: carrying such rows
+      // would diverge the greedy fold the moment the data grows nulls);
+      // users with only null-ts step events still report 0 via the
+      // unfiltered user rejoin below
+      .filter(col("sid") > 0 && col("ts_us").isNotNull)
       .select(col("user_id"),
         struct(col("ts_us"), col("event_id"), col("sid")).as("e"))
       .groupBy("user_id")

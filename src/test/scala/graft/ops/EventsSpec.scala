@@ -82,6 +82,14 @@ class EventsSpec extends SparkSpec {
     val got = Events.funnel(events, steps)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+    // a NULL-ts step event is dropped (unorderable — both engines filter
+    // it identically); a user with ONLY null-ts events still reports 0
+    val withNull = events.unionByName(Seq(
+      (15L, None: Option[Timestamp], 2L, "b"),
+      (16L, None: Option[Timestamp], 6L, "a")
+    ).toDF("event_id", "ts", "user_id", "event_type"))
+    val got2 = Events.funnel(withNull, steps).as[(Long, Long)].collect().toMap
+    assert(got2 == got + (6L -> 0L))
     intercept[IllegalArgumentException] { Events.funnel(events, Seq("a", "a")) }
     intercept[IllegalArgumentException] { Events.funnel(events, Seq.empty) }
   }
