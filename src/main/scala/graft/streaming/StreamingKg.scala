@@ -824,8 +824,12 @@ object StreamingKg {
             }
             if (st ne null) {
               state.update(st)
+              // ceiling division (r6, ADVICE r5): flooring micros->millis
+              // could evict up to 999µs before last_event_time + gap, so a
+              // boundary event (still in-session under the strict-> rule)
+              // could meet evicted state and wrongly open a new session
               state.setTimeoutTimestamp(
-                math.max(st.lastUs / 1000L + gapMinutes.toLong * 60000L,
+                math.max((st.lastUs + 999L) / 1000L + gapMinutes.toLong * 60000L,
                   state.getCurrentWatermarkMs() + 1))
             }
             out.iterator

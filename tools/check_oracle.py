@@ -40,8 +40,18 @@ for q, sql in sorted(oracle.items()):
         print(f"[ROWS] {q}: oracle={len(ora)} got={len(got)}")
         fails += 1
         continue
+    # dtype-strict (r6): the driver hashes TYPED values, so a dtype
+    # mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark BIGINT -> int64,
+    # the r5 txt_pack failure) must fail HERE too — the local gate may
+    # never be weaker than the driver's.
+    if list(ora.dtypes) != list(got.dtypes):
+        bad = [(c, str(a), str(b)) for c, a, b in
+               zip(ora.columns, ora.dtypes, got.dtypes) if a != b]
+        print(f"[DTYPE] {q}: oracle vs got differ on {bad}")
+        fails += 1
+        continue
     try:
-        pd.testing.assert_frame_equal(ora, got, check_dtype=False, check_exact=False, rtol=1e-9)
+        pd.testing.assert_frame_equal(ora, got, check_dtype=True, check_exact=False, rtol=1e-9)
         print(f"[OK] {q}: {len(got)} rows")
     except AssertionError as e:
         print(f"[DIFF] {q}: {str(e).splitlines()[-1] if str(e) else 'mismatch'}")
