@@ -92,16 +92,38 @@ object Linking {
   }
 
   /** Connected components over an undirected edge list (src, dst) of Long
-    * node ids: iterative NEIGHBOR-MIN label propagation with DataFrame
-    * joins only. Each round every node adopts the minimum component id
-    * among itself and its neighbors, then a PATH-HALVING pointer jump
-    * (comp ← comp-of-comp) doubles the label's hop distance, so
-    * convergence is O(log(diameter)) rounds. (Same asymptotics as the
-    * small-star/large-star formulation; this is the simpler two-join
-    * variant.) `localCheckpoint` cuts lineage growth per round;
-    * convergence is detected with a cheap Σ(comp) aggregate.
+    * node ids. Returns (node, component) where component = min node id
+    * reachable — the output is a pure function of the edge SET, so the
+    * execution strategy below is free to adapt to graph size.
     *
-    * Returns (node, component) where component = min node id reachable.
+    * SIZE-ADAPTIVE execution (r6, guide §2: derive partitioning/strategy
+    * from input size, not a constant):
+    *
+    *  - Small graphs (edge count ≤ `graft.cc.localEdgeCap`, default 2^22):
+    *    ONE single-task union-find fold (union-by-min + path compression)
+    *    over the checkpointed edge list — one job, zero per-round
+    *    shuffles. This is the common case BY CONSTRUCTION for every
+    *    caller in the engine: dedup pair graphs are dup-pair-sized
+    *    (orders of magnitude below the corpus — the candidates-then-
+    *    join-back invariant), linking alias pairs are synonym-heuristic-
+    *    sized, and the cluster step of Lee et al. 2022 is likewise a
+    *    union-find over the pair list. The fold is executor-side (no
+    *    driver collect) and bounded: the cap (~4.2M edges ≈ tens of MB
+    *    of hash maps) is a Spark conf, NOT a local[32] constant.
+    *
+    *  - Large graphs (> cap): the r4 iterative NEIGHBOR-MIN label
+    *    propagation with a PATH-HALVING pointer jump per round, ONE lazy
+    *    localCheckpoint job per round (the Σ aggregate materializes the
+    *    cache AND tests convergence), O(log(diameter)) rounds. Round 0
+    *    folds the first neighbor-min into node derivation: the
+    *    distinct-nodes pass is a shuffle keyed by src anyway, so
+    *    min(dst) rides the same exchange for free.
+    *
+    * Measured (sf0.1, 32 threads, BENCH.md r6): the dd_semdedup closure
+    * ran 11 propagation rounds at ~0.25-0.5 s/round of pure barrier
+    * latency on a ~KB-sized pair graph; the union-find fold replaces all
+    * of it with one sub-second job. A double-jump-per-round variant was
+    * measured SLOWER (plan doubles per jump; 11 → 9 rounds only).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
@@ -111,51 +133,93 @@ object Linking {
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
-    // LAZY localCheckpoint throughout the loop (r4): local checkpointing
-    // is cache-based, so the Σ aggregate below materializes the cached
-    // partitions AND truncates lineage in ONE job — the eager form paid
-    // a separate checkpoint job before every Σ job (2 barriers/round;
-    // barrier latency is this sandbox's dominant CC cost, BENCH.md
-    // r3 "identical-plan rep spread").
-    var comp = sym.select($"src".as("node")).distinct()
-      .withColumn("comp", $"node")
-      .localCheckpoint(false)
-    // Σcomp decreases strictly every round until fixpoint (labels are
-    // per-node monotone non-increasing) — a single cheap aggregate
-    // doubles as the convergence test (no extra join). decimal(38,0):
-    // node ids span the full 64-bit hash range, a long sum overflows
-    // under ANSI; decimal keeps the sum exact up to ~1e19 nodes.
-    // coalesce: sum over an empty/self-loop-only graph is NULL.
-    def sigmaOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
-    var sigma = sigmaOf(comp)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // neighbor minimum: for each node, min comp over neighbors ∪ self
-      val nbrMin = sym.join(comp, sym("dst") === comp("node"))
-        .groupBy(sym("src").as("node")).agg(min($"comp").as("nbr_comp"))
-      val next = comp.join(nbrMin, Seq("node"), "left")
-        .select($"node",
-          least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
-      // pointer-jumping: comp ← comp of comp (path halving, makes the
-      // label hop two steps per round instead of one); the LAZY
-      // checkpoint is materialized by the Σ aggregate right below —
-      // one job per round computes the jump, caches it (lineage cut)
-      // and tests convergence
-      val jumped = next.as("a")
-        .join(next.as("b"), col("a.comp") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
-          least(col("a.comp"), coalesce(col("b.comp"), col("a.comp"))).as("comp"))
+    // the checkpoint above already materialized sym, so this count is a
+    // cache-read job, not a recompute
+    val edgeCount = sym.count()
+    val localCap = spark.conf.getOption("graft.cc.localEdgeCap")
+      .map(_.toLong).getOrElse(1L << 22)
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    if (edgeCount <= localCap) {
+      // single-task union-find: union-by-min roots + path compression —
+      // the root of every tree IS the component minimum at all times, so
+      // no second resolution pass is needed. Runs on an executor (this is
+      // a mapPartitions fold, not a driver collect); memory is bounded by
+      // the edge cap (two longs per node).
+      val t0 = System.nanoTime()
+      val out = sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long](1 << 16)
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent.update(x, gp) // path compression
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+        }
+        val keys = parent.keys.toArray
+        keys.iterator.map(n => (n, find(n)))
+      }.toDF("node", "comp").localCheckpoint(false)
+      if (ccDebug) System.err.println(
+        f"[cc] local union-find over $edgeCount edges " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3fs (plan only; lazy)")
+      out
+    } else {
+      // distributed label propagation — the > cap path. LAZY
+      // localCheckpoint throughout the loop (r4): local checkpointing is
+      // cache-based, so the Σ aggregate below materializes the cached
+      // partitions AND truncates lineage in ONE job per round.
+      def jump(df: DataFrame): DataFrame =
+        df.as("a").join(df.as("b"), col("a.comp") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            least(col("a.comp"), coalesce(col("b.comp"), col("a.comp"))).as("comp"))
+      var t0 = System.nanoTime()
+      var comp = jump(sym.groupBy($"src").agg(min($"dst").as("md"))
+          .select($"src".as("node"), least($"src", $"md").as("comp")))
         .localCheckpoint(false)
-      val newSigma = sigmaOf(jumped)
-      comp = jumped
-      converged = newSigma.compareTo(sigma) == 0
-      sigma = newSigma
-      iter += 1
+      // Σcomp decreases strictly every round until fixpoint (labels are
+      // per-node monotone non-increasing) — a single cheap aggregate
+      // doubles as the convergence test (no extra join). decimal(38,0):
+      // node ids span the full 64-bit hash range, a long sum overflows
+      // under ANSI; decimal keeps the sum exact up to ~1e19 nodes.
+      // coalesce: sum over an empty/self-loop-only graph is NULL.
+      def sigmaOf(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
+      var sigma = sigmaOf(comp)
+      if (ccDebug) System.err.println(
+        f"[cc] init sigma job ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        t0 = System.nanoTime()
+        // neighbor minimum: for each node, min comp over neighbors ∪ self
+        val nbrMin = sym.join(comp, sym("dst") === comp("node"))
+          .groupBy(sym("src").as("node")).agg(min($"comp").as("nbr_comp"))
+        val next = comp.join(nbrMin, Seq("node"), "left")
+          .select($"node",
+            least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
+        val jumped = jump(next).localCheckpoint(false)
+        val newSigma = sigmaOf(jumped)
+        comp = jumped
+        converged = newSigma.compareTo(sigma) == 0
+        sigma = newSigma
+        iter += 1
+        if (ccDebug) System.err.println(
+          f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%.3fs converged=$converged")
+      }
+      comp
     }
-    comp
   }
 
   /** Full linking stage: mentions → nodes table with canonical ids.

@@ -62,6 +62,49 @@ class LinkingSpec extends SparkSpec {
     assert(nodes.find(_._2 == "db users").get._4 == 2L)
   }
 
+  test("connectedComponents: single-task union-find path ≡ distributed label propagation") {
+    import spark.implicits._
+    // deterministic graph mixing the shapes the engine's callers produce:
+    // long chains (kg_cc), cliques (dup clusters), stars, isolated pairs
+    val rnd = new scala.util.Random(7)
+    val chains = (0 until 6).flatMap { c =>
+      val base = 1000L * c
+      (0 until 20).map(i => (base + i, base + i + 1))
+    }
+    val clique = for (a <- 0 until 8; b <- (a + 1) until 8)
+      yield (50000L + a, 50000L + b)
+    val stars = (0 until 5).flatMap { s =>
+      val hub = 90000L + s * 100
+      (1 to 6).map(i => (hub, hub + i))
+    }
+    val noise = (0 until 60).map(_ =>
+      (rnd.nextInt(200).toLong + 70000L, rnd.nextInt(200).toLong + 70000L))
+    val edges = (chains ++ clique ++ stars ++ noise).toDF("src", "dst")
+    // reference answer: in-test union-find over the same edge list
+    val ref = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      (chains ++ clique ++ stars ++ noise).filter(e => e._1 != e._2)
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      parent.keys.map(n => n -> find(n)).toMap
+    }
+    def run(): Map[Long, Long] =
+      Linking.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val small = run() // default cap → union-find path
+    spark.conf.set("graft.cc.localEdgeCap", "0")
+    val dist = try run() // cap 0 → distributed label-propagation path
+    finally spark.conf.unset("graft.cc.localEdgeCap")
+    assert(small == ref, "union-find path diverges from reference")
+    assert(dist == ref, "distributed path diverges from reference")
+  }
+
   test("synonymPairs: y (x) abbreviation heuristic") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
