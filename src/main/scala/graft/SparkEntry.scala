@@ -229,8 +229,13 @@ object SparkEntry {
     "kg_crf_mentions" -> ((s, dir) => {
       // CRF route: broadcast-weights Viterbi with the dictionary-exact
       // model — must reproduce gazetteer tagging bit-for-bit (minus the
-      // marginal-based confidence, excluded from the oracle compare)
-      Crf.tag(tokenizedOf(s, dir), Crf.dictionaryModel(GazetteerTagger.gazetteer),
+      // marginal-based confidence, excluded from the oracle compare).
+      // r6: raw turns repartitioned to full width (the kg_mention_eval
+      // precedent) — tokenize + features + Viterbi otherwise run as ONE
+      // task over the unsplittable single-row-group parquet
+      Crf.tag(Segmentation.tokenized(
+          turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism)),
+          Crf.dictionaryModel(GazetteerTagger.gazetteer),
           withConfidence = false)
         .toDF().drop("confidence")
     }),
@@ -246,7 +251,14 @@ object SparkEntry {
       val model = Crf.dictionaryModel(GazetteerTagger.gazetteer)
       val emissions = model.emissions.toSeq.map { case (f, w) => (f, w.toSeq) }
         .toDF("feature", "weights")
-      Crf.tagWithTable(tokenizedOf(s, dir), emissions, model,
+      // r6: the raw turns are repartitioned to full width (the
+      // kg_mention_eval precedent) — the unsplittable single-row-group
+      // parquet otherwise runs tokenize + feature explosion + the
+      // map side of the first aggregate as ONE task (measured 1.3-1.7 s
+      // single-task stage per rep at sf0.1/32c)
+      Crf.tagWithTable(Segmentation.tokenized(
+          turnsOf(s, dir).repartition(s.sparkContext.defaultParallelism)),
+          emissions, model,
           withConfidence = false, eager = true)
         .toDF().drop("confidence")
     }),

@@ -511,6 +511,12 @@ object Crf {
         .select(col("feature"), col("weights")), Seq("feature"))
       .select(col("conv_id"), col("turn_idx"), col("sent_idx"), col("tok_idx"),
         posexplode(col("weights")).as(Seq("lbl", "w")))
+      // r6: drop zero addends BEFORE the (token, label) aggregate — a
+      // sparse model (e.g. the dictionary model: one nonzero label per
+      // feature) otherwise shuffles L rows per feature hit of which
+      // L-1 are zeros. Zero terms cannot change any sum, and the
+      // all-zero groups this removes were filtered below anyway.
+      .filter(col("w") =!= 0.0)
       .groupBy("conv_id", "turn_idx", "sent_idx", "tok_idx", "lbl")
       .agg(sum("w").as("w"))
       .filter(col("w") =!= 0.0)
