@@ -199,12 +199,29 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numPerm % bands == 0)
+    // r6: the minhash signature buckets are computed IN the persisted
+    // pass (same docShingles → Hashes.minhash → bandBucket fold the
+    // streaming side shares — only the caching point moved). Before,
+    // `banded` re-derived minhash from the cache on BOTH bucket-join
+    // sides (the rename defeats ReusedExchange), and the four consumer
+    // map stages (2 band sides + 2 verification sides) launch
+    // concurrently, so on first materialization each raced to compute
+    // the un-populated cache: TimeQuery showed 4 concurrent ~0.6 s
+    // single-task stages all labelled the shingled scan. One row-count
+    // action populates the cache BEFORE any consumer launches —
+    // shingles + signatures are now computed exactly once per run.
+    val rows = numPerm / bands
     val shingled = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, docShingles(text, shingleN)) }
-      .toDF("doc_id", "shingles")
-      // read by the band projection and twice by the verification join
+      .map { case (id, text) =>
+        val sh = docShingles(text, shingleN)
+        val sig = Hashes.minhash(sh, numPerm)
+        (id, sh, Array.tabulate(bands)(b => bandBucket(sig, b, rows)))
+      }
+      .toDF("doc_id", "shingles", "buckets")
       .persist()
-    val banded = bandedBuckets(shingled, numPerm, bands)
+    shingled.count()
+    // band rows stay (doc_id, bucket) ONLY — the r3 shuffle contract
+    val banded = shingled.select(col("doc_id"), explode(col("buckets")).as("bucket"))
     val cand = banded
       .join(banded.select(col("doc_id").as("b"), col("bucket")), Seq("bucket"))
       .filter(col("doc_id") < col("b"))
