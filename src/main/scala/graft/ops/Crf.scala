@@ -506,6 +506,14 @@ object Crf {
     val skeleton = meta.copy(emissions = Map.empty)
     val bc = spark.sparkContext.broadcast((skeleton, bias))
     val tsP = ts.persist()
+    // r6, eager mode only: populate the cache BEFORE the two consumers
+    // (the feature-explosion subtree and the sentence join-back side)
+    // launch — they start concurrently in the checkpoint job and race
+    // the unpopulated persist, tokenizing the corpus twice (TimeQuery:
+    // two concurrent ~0.5 s 32-task stages per rep). The lazy path keeps
+    // the caller-owned lifecycle (materializing the tokenized corpus at
+    // call time is the documented memory cliff at real scale).
+    if (eager) tsP.count()
     val cells = featureRows(tsP)
       .join(emissions.filter(col("feature") =!= "__bias__")
         .select(col("feature"), col("weights")), Seq("feature"))
